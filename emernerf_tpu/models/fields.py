@@ -1,0 +1,482 @@
+"""EmerNeRF fields as flax modules.
+
+TPU-first re-design of the reference model classes
+(/root/reference/radiance_fields/radiance_field.py):
+
+  * ``RadianceField`` — static hash field, optional dynamic 4D (xyz+t) hash
+    field, optional emergent scene-flow field with temporal aggregation
+    (Eq. 8), shared RGB head, sky / shadow / DINO-feature heads and the
+    learnable positional-embedding (PE) map (radiance_field.py:20-785).
+  * ``DensityField`` — proposal density network (radiance_field.py:788-841).
+
+All hash encodings run through :func:`emernerf_tpu.ops.hashgrid_encode`
+(batched XLA gathers; Pallas kernel slot-in), every head is a dense matmul
+batch, and all shapes are static: positions are (R, S, 3), per-ray data is
+expanded to (R, S) by the renderer.  Config booleans are module attributes,
+so Python branching below is resolved at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emernerf_tpu.models.mlp import MLP, Sequential64
+from emernerf_tpu.models.init_utils import torch_embedding_init
+from emernerf_tpu.ops.activations import density_activation
+from emernerf_tpu.ops.contraction import (
+    contract_merf,
+    inside_unit_cube_selector,
+    normalize_aabb,
+)
+from emernerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, init_hashgrid_table
+from emernerf_tpu.ops.interp import grid_sample_2d
+from emernerf_tpu.ops.sinusoidal import sinusoidal_encode, sinusoidal_output_dim
+
+
+def _table_init(spec: HashGridSpec, dtype):
+    def init(key, *_):
+        return init_hashgrid_table(key, spec, dtype=dtype)
+
+    return init
+
+
+class DensityField(nn.Module):
+    """Proposal density network: small hash encoder + 2-layer MLP -> density
+    (radiance_field.py:788-841)."""
+
+    spec: HashGridSpec
+    aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    unbounded: bool = True
+    base_mlp_layer_width: int = 64
+    table_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.table = self.param("hash_table", _table_init(self.spec, self.table_dtype))
+        self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, 1))
+
+    def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """positions: (..., 3) world coords -> density (...,)."""
+        aabb = jnp.asarray(self.aabb, dtype=jnp.float32)
+        if self.unbounded:
+            normed = contract_merf(positions, aabb)
+        else:
+            normed = normalize_aabb(positions, aabb)
+        normed = normed * inside_unit_cube_selector(normed)[..., None]
+        enc = hashgrid_encode(self.table, normed, self.spec).astype(jnp.float32)
+        raw = self.base_mlp(enc)[..., 0]
+        return density_activation(raw)
+
+
+class RadianceField(nn.Module):
+    static_spec: HashGridSpec
+    dynamic_spec: Optional[HashGridSpec] = None
+    flow_spec: Optional[HashGridSpec] = None
+    aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    unbounded: bool = True
+    geometry_feature_dim: int = 64
+    base_mlp_layer_width: int = 64
+    head_mlp_layer_width: int = 64
+    enable_cam_embedding: bool = False
+    enable_img_embedding: bool = False
+    num_cams: int = 3
+    appearance_embedding_dim: int = 16
+    semantic_feature_dim: int = 64  # forced to 0 by the builder when no feature head
+    feature_mlp_layer_width: int = 64
+    feature_embedding_dim: int = 64
+    enable_sky_head: bool = False
+    enable_shadow_head: bool = False
+    enable_feature_head: bool = False
+    enable_learnable_pe: bool = True
+    num_train_timesteps: int = 0
+    time_diff: float = 0.0
+    pe_map_hw: Tuple[int, int] = (80, 120)
+    table_dtype: jnp.dtype = jnp.float32
+
+    # ------------------------------------------------------------------ #
+    def setup(self):
+        gf, sf = self.geometry_feature_dim, self.semantic_feature_dim
+        self.xyz_table = self.param(
+            "xyz_table", _table_init(self.static_spec, self.table_dtype)
+        )
+        self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, gf + sf))
+
+        if self.dynamic_spec is not None:
+            self.dynamic_table = self.param(
+                "dynamic_table", _table_init(self.dynamic_spec, self.table_dtype)
+            )
+            self.dynamic_base_mlp = Sequential64(
+                widths=(self.base_mlp_layer_width, gf + sf)
+            )
+
+        if self.flow_spec is not None:
+            self.flow_table = self.param(
+                "flow_table", _table_init(self.flow_spec, self.table_dtype)
+            )
+            # 3 layers of base width -> 6 (fwd + bwd flow), no final activation
+            self.flow_mlp = Sequential64(
+                widths=(self.base_mlp_layer_width, self.base_mlp_layer_width, 6)
+            )
+
+        if self.use_appearance_embedding:
+            n_embeds = (
+                self.num_cams
+                if self.enable_cam_embedding
+                else self.num_train_timesteps * self.num_cams
+            )
+            self.appearance_embedding = nn.Embed(
+                max(n_embeds, 1),
+                self.appearance_embedding_dim,
+                embedding_init=torch_embedding_init,
+            )
+
+        self.rgb_head = MLP(
+            out_dims=3,
+            num_layers=3,
+            hidden_dims=self.head_mlp_layer_width,
+            skip_connections=(1,),
+        )
+
+        if self.enable_shadow_head:
+            self.shadow_head = Sequential64(
+                widths=(self.base_mlp_layer_width, 1), final_sigmoid=True
+            )
+
+        if self.enable_sky_head:
+            self.sky_head = MLP(
+                out_dims=3,
+                num_layers=3,
+                hidden_dims=self.head_mlp_layer_width,
+                skip_connections=(1,),
+            )
+            if self.enable_feature_head:
+                self.dino_sky_head = Sequential64(
+                    widths=(
+                        self.feature_mlp_layer_width,
+                        self.feature_mlp_layer_width,
+                        self.feature_embedding_dim,
+                    )
+                )
+
+        if self.enable_feature_head:
+            self.dino_head = Sequential64(
+                widths=(
+                    self.feature_mlp_layer_width,
+                    self.feature_mlp_layer_width,
+                    self.feature_embedding_dim,
+                )
+            )
+            if self.enable_learnable_pe:
+                h, w = self.pe_map_hw
+                half = self.feature_embedding_dim // 2
+                self.learnable_pe_map = self.param(
+                    "learnable_pe_map",
+                    lambda key, *_: 0.05 * jax.random.normal(key, (h, w, half)),
+                )
+                self.pe_head = Sequential64(widths=(self.feature_embedding_dim,))
+
+    # ------------------------------------------------------------------ #
+    @property
+    def use_appearance_embedding(self) -> bool:
+        return self.enable_cam_embedding or self.enable_img_embedding
+
+    @property
+    def has_dynamic(self) -> bool:
+        return self.dynamic_spec is not None
+
+    @property
+    def has_flow(self) -> bool:
+        return self.flow_spec is not None
+
+    # ------------------------------------------------------------------ #
+    def contract_points(self, positions):
+        """World -> [0,1]^3, out-of-box points zeroed (radiance_field.py:278-300)."""
+        aabb = jnp.asarray(self.aabb, dtype=jnp.float32)
+        if self.unbounded:
+            normed = contract_merf(positions, aabb)
+        else:
+            normed = normalize_aabb(positions, aabb)
+        return normed * inside_unit_cube_selector(normed)[..., None]
+
+    def forward_static_hash(self, positions):
+        normed = self.contract_points(positions)
+        enc = hashgrid_encode(self.xyz_table, normed, self.static_spec)
+        return self.base_mlp(enc.astype(jnp.float32)), normed
+
+    def forward_dynamic_hash(self, normed_positions, normed_timestamps):
+        """4D (xyz, t) hash encode + dynamic base MLP. Returns (feats, enc)."""
+        xyzt = jnp.concatenate(
+            [normed_positions, normed_timestamps[..., None]], axis=-1
+        )
+        enc = hashgrid_encode(self.dynamic_table, xyzt, self.dynamic_spec).astype(
+            jnp.float32
+        )
+        return self.dynamic_base_mlp(enc), enc
+
+    def forward_flow_hash(self, normed_positions, normed_timestamps):
+        """Flow field query -> (..., 6) = (forward_flow, backward_flow)."""
+        xyzt = jnp.concatenate(
+            [normed_positions, normed_timestamps[..., None]], axis=-1
+        )
+        enc = hashgrid_encode(self.flow_table, xyzt, self.flow_spec).astype(
+            jnp.float32
+        )
+        return self.flow_mlp(enc)
+
+    # ------------------------------------------------------------------ #
+    def _appearance(self, shape_prefix, data: Dict[str, jnp.ndarray]):
+        """Appearance embedding per (ray, sample); mean embedding fallback at
+        eval when indices are missing (radiance_field.py:633-645)."""
+        if not self.use_appearance_embedding:
+            return None
+        if self.enable_cam_embedding and "cam_idx" in data:
+            return self.appearance_embedding(data["cam_idx"])
+        if self.enable_img_embedding and "img_idx" in data:
+            return self.appearance_embedding(data["img_idx"])
+        mean = self.appearance_embedding.embedding.mean(axis=0)
+        return jnp.broadcast_to(
+            mean, (*shape_prefix, self.appearance_embedding_dim)
+        )
+
+    def query_rgb(self, directions, geo_feats, dynamic_geo_feats=None, data=None):
+        """Shared RGB head over static (and dynamic) geometry features
+        (radiance_field.py:622-658)."""
+        data = data or {}
+        directions = (directions + 1.0) / 2.0
+        h = sinusoidal_encode(directions, min_deg=0, max_deg=4)
+        app = self._appearance(directions.shape[:-1], data)
+        if app is not None:
+            h = jnp.concatenate([h, app], axis=-1)
+        results = {"rgb": nn.sigmoid(self.rgb_head(jnp.concatenate([h, geo_feats], -1)))}
+        if dynamic_geo_feats is not None:
+            results["dynamic_rgb"] = nn.sigmoid(
+                self.rgb_head(jnp.concatenate([h, dynamic_geo_feats], -1))
+            )
+        return results
+
+    def query_sky(self, directions_per_ray, data=None):
+        """Sky color (and sky feature) from per-ray directions
+        (radiance_field.py:660-686)."""
+        data = data or {}
+        dd = sinusoidal_encode(directions_per_ray, min_deg=0, max_deg=4)
+        app = self._appearance(directions_per_ray.shape[:-1], data)
+        if app is not None:
+            dd = jnp.concatenate([dd, app], axis=-1)
+        results = {"rgb_sky": nn.sigmoid(self.sky_head(dd))}
+        if self.enable_feature_head:
+            results["dino_sky_feat"] = self.dino_sky_head(dd)
+        return results
+
+    def temporal_aggregation(
+        self, positions, normed_timestamps, forward_flow, backward_flow,
+        dynamic_feats, train: bool,
+    ):
+        """Scene-flow-warped feature aggregation, Eq. (8)
+        (radiance_field.py:553-620). Re-queries the dynamic field at the
+        +/- flow-warped positions and the flow field for cycle consistency."""
+        if train:
+            noise = jax.random.uniform(
+                self.make_rng("aggregation"), (*forward_flow.shape[:-1], 1)
+            )
+        else:
+            noise = jnp.ones((*forward_flow.shape[:-1], 1), forward_flow.dtype)
+
+        fwd_pos = self.contract_points(positions + forward_flow * noise)
+        bwd_pos = self.contract_points(positions + backward_flow * noise)
+        noise_t = noise[..., 0]
+        fwd_time = jnp.clip(normed_timestamps + self.time_diff * noise_t, 0.0, 1.0)
+        bwd_time = jnp.clip(normed_timestamps - self.time_diff * noise_t, 0.0, 1.0)
+
+        fwd_feats, fwd_enc = self.forward_dynamic_hash(fwd_pos, fwd_time)
+        bwd_feats, bwd_enc = self.forward_dynamic_hash(bwd_pos, bwd_time)
+        fwd_pred_flow = self.forward_flow_hash(fwd_pos, fwd_time)
+        bwd_pred_flow = self.forward_flow_hash(bwd_pos, bwd_time)
+
+        aggregated = (dynamic_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
+        return {
+            "dynamic_feats": aggregated,
+            "forward_pred_backward_flow": fwd_pred_flow[..., 3:],
+            "backward_pred_forward_flow": bwd_pred_flow[..., :3],
+            "forward_dynamic_hash_encodings": fwd_enc,
+            "backward_dynamic_hash_encodings": bwd_enc,
+        }
+
+    # ------------------------------------------------------------------ #
+    def __call__(
+        self,
+        positions: jnp.ndarray,  # (R, S, 3)
+        directions: Optional[jnp.ndarray] = None,  # (R, S, 3)
+        data: Optional[Dict[str, jnp.ndarray]] = None,
+        return_density_only: bool = False,
+        combine_static_dynamic: bool = False,
+        query_feature_head: bool = True,
+        query_pe_head: bool = True,
+        query_sky_head: bool = True,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """One field query (radiance_field.py:391-551). All flags static."""
+        data = data or {}
+        results: Dict[str, jnp.ndarray] = {}
+
+        encoded, normed_positions = self.forward_static_hash(positions)
+        geo_feats = encoded[..., : self.geometry_feature_dim]
+        semantic_feats = encoded[..., self.geometry_feature_dim :]
+        static_density = density_activation(geo_feats[..., 0])
+
+        has_timestamps = "normed_timestamps" in data
+        dynamic_geo_feats = None
+        dynamic_semantic_feats = None
+        if self.has_dynamic and has_timestamps:
+            t = data["normed_timestamps"]
+            dynamic_feats, dynamic_enc = self.forward_dynamic_hash(
+                normed_positions, t
+            )
+            if self.has_flow:
+                flow = self.forward_flow_hash(normed_positions, t)
+                forward_flow, backward_flow = flow[..., :3], flow[..., 3:]
+                results["forward_flow"] = forward_flow
+                results["backward_flow"] = backward_flow
+                agg = self.temporal_aggregation(
+                    positions, t, forward_flow, backward_flow, dynamic_feats,
+                    train=train,
+                )
+                dynamic_feats = agg.pop("dynamic_feats")
+                agg["current_dynamic_hash_encodings"] = dynamic_enc
+                results.update(agg)
+
+            dynamic_geo_feats = dynamic_feats[..., : self.geometry_feature_dim]
+            dynamic_semantic_feats = dynamic_feats[..., self.geometry_feature_dim :]
+            dynamic_density = density_activation(dynamic_geo_feats[..., 0])
+            density = static_density + dynamic_density
+            results.update(
+                density=density,
+                static_density=static_density,
+                dynamic_density=dynamic_density,
+            )
+            if return_density_only:
+                return results
+
+            if directions is not None:
+                rgb_results = self.query_rgb(
+                    directions, geo_feats, dynamic_geo_feats, data=data
+                )
+                results["static_rgb"] = rgb_results["rgb"]
+                results["dynamic_rgb"] = rgb_results["dynamic_rgb"]
+                if combine_static_dynamic:
+                    s_ratio = static_density / (density + 1e-6)
+                    d_ratio = dynamic_density / (density + 1e-6)
+                    results["rgb"] = (
+                        s_ratio[..., None] * results["static_rgb"]
+                        + d_ratio[..., None] * results["dynamic_rgb"]
+                    )
+            if self.enable_shadow_head:
+                shadow_ratio = self.shadow_head(dynamic_geo_feats)
+                results["shadow_ratio"] = shadow_ratio
+                if combine_static_dynamic and "rgb" in results:
+                    results["rgb"] = (
+                        s_ratio[..., None] * results["rgb"] * (1 - shadow_ratio)
+                        + d_ratio[..., None] * results["dynamic_rgb"]
+                    )
+        else:
+            results["density"] = static_density
+            results["static_density"] = static_density
+            if return_density_only:
+                return results
+            if directions is not None:
+                results["rgb"] = self.query_rgb(directions, geo_feats, data=data)["rgb"]
+
+        if self.enable_feature_head and query_feature_head:
+            if self.enable_learnable_pe and query_pe_head and "pixel_coords" in data:
+                # pixel_coords is (y/H, x/W); the reference feeds it to
+                # grid_sample as-is, so coord 0 indexes the map's width axis
+                # and coord 1 its height axis (radiance_field.py:509-521).
+                pc = data["pixel_coords"] * 2.0 - 1.0
+                pe = grid_sample_2d(self.learnable_pe_map, pc[..., 0], pc[..., 1])
+                results["dino_pe"] = self.pe_head(pe)
+            dino_feats = self.dino_head(semantic_feats)
+            if dynamic_semantic_feats is not None:
+                dynamic_dino_feats = self.dino_head(dynamic_semantic_feats)
+                results["static_dino_feat"] = dino_feats
+                results["dynamic_dino_feat"] = dynamic_dino_feats
+                if combine_static_dynamic:
+                    s_ratio = static_density / (results["density"] + 1e-6)
+                    d_ratio = results["dynamic_density"] / (results["density"] + 1e-6)
+                    results["dino_feat"] = (
+                        s_ratio[..., None] * dino_feats
+                        + d_ratio[..., None] * dynamic_dino_feats
+                    )
+            else:
+                results["dino_feat"] = dino_feats
+
+        if self.enable_sky_head and query_sky_head and directions is not None:
+            per_ray_dirs = directions[:, 0]
+            per_ray_data = {
+                k: v[:, 0] for k, v in data.items() if v.ndim >= 2 and k != "pixel_coords"
+            }
+            results.update(self.query_sky(per_ray_dirs, data=per_ray_data))
+
+        return results
+
+    # ------------------------------------------------------------------ #
+    def query_flow(self, positions, normed_timestamps, query_density: bool = True):
+        """Point query of the flow field (radiance_field.py:688-713)."""
+        normed = self.contract_points(positions)
+        flow = self.forward_flow_hash(normed, normed_timestamps)
+        results = {"forward_flow": flow[..., :3], "backward_flow": flow[..., 3:]}
+        if query_density:
+            dynamic_feats, _ = self.forward_dynamic_hash(normed, normed_timestamps)
+            geo = dynamic_feats[..., : self.geometry_feature_dim]
+            results["dynamic_density"] = density_activation(geo[..., 0])
+        return results
+
+    def query_attributes(
+        self, positions, normed_timestamps=None, query_feature_head: bool = True
+    ):
+        """Point query of densities / features for voxel vis and occupancy
+        eval (radiance_field.py:715-785)."""
+        results: Dict[str, jnp.ndarray] = {}
+        encoded, normed = self.forward_static_hash(positions)
+        geo_feats = encoded[..., : self.geometry_feature_dim]
+        semantic_feats = encoded[..., self.geometry_feature_dim :]
+        static_density = density_activation(geo_feats[..., 0])
+
+        dynamic_semantic_feats = None
+        if self.has_dynamic and normed_timestamps is not None:
+            dynamic_feats, _ = self.forward_dynamic_hash(normed, normed_timestamps)
+            if self.has_flow:
+                flow = self.forward_flow_hash(normed, normed_timestamps)
+                results["forward_flow"] = flow[..., :3]
+                results["backward_flow"] = flow[..., 3:]
+                agg = self.temporal_aggregation(
+                    positions, normed_timestamps, flow[..., :3], flow[..., 3:],
+                    dynamic_feats, train=False,
+                )
+                dynamic_feats = agg.pop("dynamic_feats")
+            dynamic_geo_feats = dynamic_feats[..., : self.geometry_feature_dim]
+            dynamic_semantic_feats = dynamic_feats[..., self.geometry_feature_dim :]
+            dynamic_density = density_activation(dynamic_geo_feats[..., 0])
+            density = static_density + dynamic_density
+            results.update(
+                density=density,
+                static_density=static_density,
+                dynamic_density=dynamic_density,
+            )
+        else:
+            results["density"] = static_density
+
+        if self.enable_feature_head and query_feature_head:
+            dino_feats = self.dino_head(semantic_feats)
+            if dynamic_semantic_feats is not None:
+                dynamic_dino = self.dino_head(dynamic_semantic_feats)
+                results["static_dino_feat"] = dino_feats
+                results["dynamic_dino_feat"] = dynamic_dino
+                results["dino_feat"] = (
+                    results["static_density"][..., None] * dino_feats
+                    + results["dynamic_density"][..., None] * dynamic_dino
+                ) / (results["density"][..., None] + 1e-6)
+            else:
+                results["dino_feat"] = dino_feats
+        return results

@@ -1,0 +1,18 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (and without
+paying the TPU-tunnel init cost per test run)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# the environment's sitecustomize registers the TPU backend before pytest
+# starts; flip the config back to cpu-only before any backend initializes
+jax.config.update("jax_platforms", "cpu")

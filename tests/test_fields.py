@@ -1,0 +1,149 @@
+"""Tests for the radiance / density fields (models/fields.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emernerf_tpu.models.fields import DensityField, RadianceField
+from emernerf_tpu.ops.hashgrid import HashGridSpec
+
+TINY3 = HashGridSpec(
+    n_input_dims=3, n_levels=4, base_resolution=4, max_resolution=32,
+    log2_hashmap_size=8, n_features_per_level=2,
+)
+TINY4 = HashGridSpec(
+    n_input_dims=4, n_levels=4, base_resolution=4, max_resolution=32,
+    log2_hashmap_size=8, n_features_per_level=2,
+)
+AABB = (-10.0, -10.0, -10.0, 10.0, 10.0, 10.0)
+
+
+def _mk_static(**kw):
+    defaults = dict(
+        static_spec=TINY3, aabb=AABB, geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0, enable_img_embedding=True,
+        num_train_timesteps=4, num_cams=1, appearance_embedding_dim=4,
+    )
+    defaults.update(kw)
+    return RadianceField(**defaults)
+
+
+def test_density_field_shapes_and_positivity():
+    model = DensityField(spec=TINY3, aabb=AABB, base_mlp_layer_width=16)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (8, 5, 3)) * 5
+    params = model.init(jax.random.PRNGKey(0), pos)["params"]
+    density = model.apply({"params": params}, pos)
+    assert density.shape == (8, 5)
+    assert bool(jnp.all(density > 0))
+
+
+def test_static_radiance_field_forward():
+    model = _mk_static(enable_sky_head=True)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (8, 5, 3)) * 5
+    dirs_raw = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+    dirs = dirs_raw / jnp.linalg.norm(dirs_raw, axis=-1, keepdims=True)
+    dirs = jnp.broadcast_to(dirs[:, None, :], pos.shape)
+    data = {"img_idx": jnp.zeros((8, 5), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, data)["params"]
+    out = model.apply({"params": params}, pos, dirs, data)
+    assert out["density"].shape == (8, 5)
+    assert out["rgb"].shape == (8, 5, 3)
+    assert out["rgb_sky"].shape == (8, 3)
+    assert bool(jnp.all((out["rgb"] >= 0) & (out["rgb"] <= 1)))
+
+
+def test_density_only_skips_heads():
+    model = _mk_static()
+    pos = jnp.zeros((4, 3, 3))
+    dirs = jnp.ones((4, 3, 3))
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, {})["params"]
+    out = model.apply({"params": params}, pos, dirs, {}, return_density_only=True)
+    assert "rgb" not in out and "density" in out
+
+
+def test_dynamic_field_blends_densities():
+    model = _mk_static(dynamic_spec=TINY4)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 3))
+    dirs = jnp.ones((4, 3, 3)) / jnp.sqrt(3.0)
+    data = {
+        "normed_timestamps": jnp.full((4, 3), 0.5),
+        "img_idx": jnp.zeros((4, 3), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, data)["params"]
+    out = model.apply({"params": params}, pos, dirs, data)
+    np.testing.assert_allclose(
+        np.asarray(out["density"]),
+        np.asarray(out["static_density"] + out["dynamic_density"]),
+        rtol=1e-5,
+    )
+    assert out["static_rgb"].shape == (4, 3, 3)
+    assert out["dynamic_rgb"].shape == (4, 3, 3)
+
+
+def test_flow_field_temporal_aggregation():
+    model = _mk_static(dynamic_spec=TINY4, flow_spec=TINY4, time_diff=0.1)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 3))
+    dirs = jnp.ones((4, 3, 3)) / jnp.sqrt(3.0)
+    data = {
+        "normed_timestamps": jnp.full((4, 3), 0.5),
+        "img_idx": jnp.zeros((4, 3), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, data)["params"]
+    out = model.apply(
+        {"params": params}, pos, dirs, data, train=True,
+        rngs={"aggregation": jax.random.PRNGKey(7)},
+    )
+    for k in (
+        "forward_flow", "backward_flow",
+        "forward_pred_backward_flow", "backward_pred_forward_flow",
+    ):
+        assert out[k].shape == (4, 3, 3), k
+    # eval path needs no rng
+    out_eval = model.apply({"params": params}, pos, dirs, data, train=False)
+    assert out_eval["density"].shape == (4, 3)
+
+
+def test_feature_head_and_learnable_pe():
+    model = _mk_static(
+        enable_feature_head=True, semantic_feature_dim=8,
+        feature_embedding_dim=16, feature_mlp_layer_width=16,
+        enable_learnable_pe=True, pe_map_hw=(8, 12),
+    )
+    pos = jnp.zeros((4, 3, 3))
+    dirs = jnp.ones((4, 3, 3)) / jnp.sqrt(3.0)
+    data = {
+        "img_idx": jnp.zeros((4, 3), jnp.int32),
+        "pixel_coords": jnp.asarray([[0.5, 0.5]] * 4),
+    }
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, data)["params"]
+    out = model.apply({"params": params}, pos, dirs, data)
+    assert out["dino_feat"].shape == (4, 3, 16)
+    assert out["dino_pe"].shape == (4, 16)
+
+
+def test_query_attributes_and_flow():
+    model = _mk_static(dynamic_spec=TINY4, flow_spec=TINY4, time_diff=0.1)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+    t = jnp.full((16,), 0.3)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 2, 3)), jnp.ones((2, 2, 3)),
+        {"normed_timestamps": jnp.zeros((2, 2))},
+    )
+    out = model.apply(variables, pos, t, method=RadianceField.query_flow)
+    assert out["forward_flow"].shape == (16, 3)
+    assert out["dynamic_density"].shape == (16,)
+    attrs = model.apply(variables, pos, t, method=RadianceField.query_attributes)
+    assert attrs["density"].shape == (16,)
+
+
+def test_appearance_embedding_mean_fallback():
+    model = _mk_static()
+    pos = jnp.zeros((4, 3, 3))
+    dirs = jnp.ones((4, 3, 3)) / jnp.sqrt(3.0)
+    data_train = {"img_idx": jnp.zeros((4, 3), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), pos, dirs, data_train)["params"]
+    # eval without img_idx must fall back to the mean embedding, not crash
+    out = model.apply({"params": params}, pos, dirs, {})
+    assert out["rgb"].shape == (4, 3, 3)
