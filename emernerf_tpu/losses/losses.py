@@ -63,7 +63,9 @@ def depth_loss(pred_depth, gt_depth, loss_type="l2", coef=1.0, max_depth=80.0):
 
 
 def dirac_delta_approx(x, mu=0.0, sigma=1e-5):
-    return (1.0 / math.sqrt(2.0 * math.pi * sigma**2)) * jnp.exp(
+    # sigma may be a traced scalar (the epsilon decay schedule)
+    sigma = jnp.asarray(sigma)
+    return (1.0 / jnp.sqrt(2.0 * math.pi * sigma**2)) * jnp.exp(
         -((x - mu) ** 2) / (2.0 * sigma**2)
     )
 

@@ -1,0 +1,351 @@
+"""The fused training step.
+
+TPU-first restructuring of the reference train loop body
+(/root/reference/train_emernerf.py:612-827).  The reference runs, per
+iteration: a pixel-ray render + 7 losses + backward + Adam step, a proposal
+-network update with its own optimizer, then a lidar-ray render + depth
+losses + a second Adam step.  Here the whole iteration is ONE jitted
+function with donated state:
+
+  pixel branch:  grads of (pixel losses + interlevel loss) wrt
+                 (model params, prop params) in a single backward
+  prop update:   applied only on requires-grad steps (the reference skips
+                 optimizer.step() otherwise, which matters for Adam moments)
+  model update:  Adam direction scaled by the chained schedule at count 2*step
+  lidar branch:  same on the updated params, schedule count 2*step + 1
+
+``proposal_requires_grad`` flags are static, mirroring the host-side
+schedule (nerfacc_prop_net.py:280-296); jit caches the few variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emernerf_tpu.losses.losses import (
+    cycle_consistency_loss,
+    depth_loss,
+    dynamic_regularization_loss,
+    line_of_sight_loss,
+    real_value_loss,
+    sky_loss_opacity,
+    sky_loss_weights,
+)
+from emernerf_tpu.render.prop_sampler import compute_prop_loss
+from emernerf_tpu.render.renderer import render_ray_batch
+from emernerf_tpu.train.optim import apply_update, chained_lr_schedule, make_adam
+from emernerf_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    """Static hyperparameters of one training step (hashable for jit).
+
+    Defaults mirror /root/reference/configs/default_config.yaml.
+    """
+
+    # sampling (default_config.yaml:44-60)
+    num_samples: int = 64
+    prop_samples: Tuple[int, ...] = (128, 64)
+    near_plane: float = 0.1
+    far_plane: float = 1000.0
+    sampling_type: str = "uniform_lindisp"
+    enable_anti_aliasing: bool = True
+    pulse_widths: Tuple[float, ...] = (0.03, 0.003)
+    prop_loss_scaler: float = 1024.0
+    # supervision (default_config.yaml:116-150)
+    rgb_loss_type: str = "l2"
+    rgb_coef: float = 1.0
+    use_sky_loss: bool = False
+    sky_loss_type: str = "opacity_based"
+    sky_coef: float = 0.001
+    use_feature_loss: bool = False
+    feature_loss_type: str = "l2"
+    feature_coef: float = 0.5
+    use_dynamic_reg: bool = False
+    dynamic_loss_type: str = "sparsity"
+    dynamic_coef: float = 0.01
+    entropy_skewness: float = 1.1
+    use_shadow_loss: bool = False
+    shadow_loss_type: str = "sparsity"
+    shadow_coef: float = 0.01
+    cycle_coef: float = 0.01
+    has_flow: bool = False
+    # lidar supervision
+    has_lidar: bool = False
+    depth_loss_type: str = "l2"
+    depth_coef: float = 1.0
+    depth_upper_bound: float = 80.0
+    los_enable: bool = True
+    los_coef: float = 0.1
+    los_start_iter: int = 2000
+    los_start_epsilon: float = 6.0
+    los_end_epsilon: float = 2.5
+    los_decay_steps: int = 5000
+    los_decay_rate: float = 0.5
+    # optimization (default_config.yaml:151-155)
+    lr: float = 0.01
+    weight_decay: float = 1e-5
+    num_iters: int = 25000
+
+
+def _psnr(pred, gt):
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def _los_epsilon(cfg: TrainStepConfig, step):
+    """Linear epsilon decay from start to end over the remaining schedule
+    (train_emernerf.py:780-793)."""
+    m = (cfg.los_end_epsilon - cfg.los_start_epsilon) / max(
+        cfg.num_iters - cfg.los_start_iter, 1
+    )
+    b = cfg.los_start_epsilon - m * cfg.los_start_iter
+    eps = m * jnp.asarray(step, jnp.float32) + b
+    return jnp.clip(
+        eps,
+        min(cfg.los_start_epsilon, cfg.los_end_epsilon),
+        max(cfg.los_start_epsilon, cfg.los_end_epsilon),
+    )
+
+
+def _los_decay_weight(cfg: TrainStepConfig, step):
+    """Stepwise coef decay: *= decay_rate every decay_steps past start_iter
+    (train_emernerf.py:620-628)."""
+    past = jnp.maximum(jnp.asarray(step, jnp.int32) - cfg.los_start_iter, 0)
+    n = past // cfg.los_decay_steps
+    return cfg.los_decay_rate ** n.astype(jnp.float32)
+
+
+def build_train_step(
+    model,
+    prop_models: Sequence,
+    cfg: TrainStepConfig,
+):
+    """Returns jitted ``train_step(state, pixel_batch, lidar_batch, key,
+    pixel_rg, lidar_rg) -> (new_state, metrics)``.
+
+    Batches are dicts of statically-shaped device arrays:
+      pixel: origins, viewdirs, pixels, + optional sky_masks, features,
+             normed_timestamps, img_idx, cam_idx, pixel_coords
+      lidar: origins, viewdirs, ranges, normed_timestamps
+    """
+    tx = make_adam(cfg.weight_decay)
+    lr_fn = chained_lr_schedule(cfg.lr, cfg.num_iters)
+    steps_per_iter = 2 if cfg.has_lidar else 1
+
+    render_kw = dict(
+        num_samples=cfg.num_samples,
+        prop_samples=tuple(cfg.prop_samples),
+        near_plane=cfg.near_plane,
+        far_plane=cfg.far_plane,
+        sampling_type=cfg.sampling_type,
+    )
+
+    # ---------------- pixel branch ---------------- #
+    def pixel_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
+        params, prop_params = params_tuple
+        out, caches, s_vals = render_ray_batch(
+            model, params, prop_models, prop_params, batch, key,
+            stratified=True, proposal_requires_grad=requires_grad,
+            train=True, rngs={"aggregation": agg_key}, **render_kw,
+        )
+        extras = out["extras"]
+        losses: Dict[str, jnp.ndarray] = {
+            "rgb_loss": real_value_loss(
+                out["rgb"], batch["pixels"], cfg.rgb_loss_type, cfg.rgb_coef
+            )
+        }
+        if cfg.use_sky_loss:
+            if cfg.sky_loss_type == "opacity_based":
+                losses["sky_loss"] = sky_loss_opacity(
+                    out["opacity"], batch["sky_masks"], cfg.sky_coef
+                )
+            else:
+                losses["sky_loss"] = sky_loss_weights(
+                    extras["weights"], batch["sky_masks"], cfg.sky_coef
+                )
+        if cfg.use_feature_loss:
+            losses["feature_loss"] = real_value_loss(
+                out["dino_feat"], batch["features"], cfg.feature_loss_type,
+                cfg.feature_coef,
+            )
+        if cfg.use_dynamic_reg:
+            losses["dynamic_reg_loss"] = dynamic_regularization_loss(
+                extras["dynamic_density"], extras["static_density"],
+                loss_type=cfg.dynamic_loss_type, coef=cfg.dynamic_coef,
+                entropy_skewness=cfg.entropy_skewness,
+            )
+        if cfg.use_shadow_loss:
+            losses["shadow_loss"] = dynamic_regularization_loss(
+                out["shadow_ratio"], loss_type=cfg.shadow_loss_type,
+                coef=cfg.shadow_coef,
+            )
+        if cfg.has_flow:
+            losses["cycle_loss"] = cycle_consistency_loss(
+                extras["forward_flow"], extras["forward_pred_backward_flow"],
+                extras["backward_flow"], extras["backward_pred_forward_flow"],
+                cfg.cycle_coef,
+            )
+        prop_loss = jnp.zeros(())
+        if requires_grad:
+            prop_loss = compute_prop_loss(
+                caches, s_vals, extras["trans"], cfg.enable_anti_aliasing,
+                tuple(cfg.pulse_widths), cfg.prop_loss_scaler,
+            )
+        total = sum(losses.values()) + prop_loss
+        aux = dict(losses)
+        aux["prop_loss"] = prop_loss
+        aux["psnr"] = _psnr(out["rgb"], batch["pixels"])
+        aux["total_pixel_loss"] = sum(losses.values())
+        return total, aux
+
+    # ---------------- lidar branch ---------------- #
+    def lidar_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
+        params, prop_params = params_tuple
+        out, caches, s_vals = render_ray_batch(
+            model, params, prop_models, prop_params, batch, key,
+            stratified=True, proposal_requires_grad=requires_grad,
+            is_lidar=True, train=True, rngs={"aggregation": agg_key},
+            **render_kw,
+        )
+        extras = out["extras"]
+        losses = {
+            "lidar_range_loss": depth_loss(
+                out["depth"], batch["ranges"], cfg.depth_loss_type,
+                cfg.depth_coef, cfg.depth_upper_bound,
+            )
+        }
+        if cfg.los_enable:
+            los = line_of_sight_loss(
+                batch["ranges"], extras["weights"], extras["t_vals"],
+                _los_epsilon(cfg, step), cfg.los_coef,
+                _los_decay_weight(cfg, step),
+            )
+            # active only after the warmup iterations
+            losses["lidar_line_of_sight"] = jnp.where(
+                step > cfg.los_start_iter, los, 0.0
+            )
+        if cfg.use_dynamic_reg:
+            losses["lidar_dynamic_loss"] = dynamic_regularization_loss(
+                extras["dynamic_density"], extras["static_density"],
+                loss_type=cfg.dynamic_loss_type, coef=cfg.dynamic_coef,
+                entropy_skewness=cfg.entropy_skewness,
+            )
+        prop_loss = jnp.zeros(())
+        if requires_grad:
+            prop_loss = compute_prop_loss(
+                caches, s_vals, extras["trans"], cfg.enable_anti_aliasing,
+                tuple(cfg.pulse_widths), cfg.prop_loss_scaler,
+            )
+        total = sum(losses.values()) + prop_loss
+        aux = dict(losses)
+        aux["total_lidar_loss"] = sum(losses.values())
+        aux["range_rmse"] = jnp.sqrt(
+            jnp.mean((out["depth"][..., 0] - batch["ranges"]) ** 2)
+        )
+        return total, aux
+
+    # ---------------- full step ---------------- #
+    def train_step(
+        state: TrainState,
+        pixel_batch: Dict[str, jnp.ndarray],
+        lidar_batch: Optional[Dict[str, jnp.ndarray]],
+        key,
+        pixel_rg: bool,
+        lidar_rg: bool,
+    ):
+        step = state.step
+        metrics: Dict[str, jnp.ndarray] = {}
+        params, prop_params = state.params, state.prop_params
+        opt_state, prop_opt_state = state.opt_state, state.prop_opt_state
+
+        k_pix, k_pix_agg, k_lid, k_lid_agg = jax.random.split(key, 4)
+        sched_count = step * steps_per_iter
+
+        # pixel branch
+        (_, aux), grads = jax.value_and_grad(
+            pixel_loss_fn, has_aux=True
+        )((params, prop_params), pixel_batch, k_pix, k_pix_agg, step, pixel_rg)
+        g_model, g_prop = grads
+        lr = lr_fn(sched_count)
+        if pixel_rg:
+            prop_params, prop_opt_state = apply_update(
+                tx, g_prop, prop_opt_state, prop_params, lr
+            )
+        params, opt_state = apply_update(tx, g_model, opt_state, params, lr)
+        metrics.update(aux)
+        metrics["lr"] = lr
+
+        # lidar branch (second forward/backward on the updated params)
+        if cfg.has_lidar:
+            (_, laux), lgrads = jax.value_and_grad(
+                lidar_loss_fn, has_aux=True
+            )((params, prop_params), lidar_batch, k_lid, k_lid_agg, step,
+              lidar_rg)
+            lg_model, lg_prop = lgrads
+            lr2 = lr_fn(sched_count + 1)
+            if lidar_rg:
+                prop_params, prop_opt_state = apply_update(
+                    tx, lg_prop, prop_opt_state, prop_params, lr2
+                )
+            params, opt_state = apply_update(
+                tx, lg_model, opt_state, params, lr2
+            )
+            metrics.update(laux)
+
+        new_state = TrainState(
+            step=step + 1,
+            params=params,
+            prop_params=prop_params,
+            opt_state=opt_state,
+            prop_opt_state=prop_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        static_argnames=("pixel_rg", "lidar_rg"),
+        donate_argnames=("state",),
+    )
+
+
+def init_train_state(model, prop_models, cfg: TrainStepConfig, key,
+                     example_pixel_batch, example_lidar_batch=None):
+    """Initialize parameters and optimizer states for training."""
+    del example_lidar_batch
+    tx = make_adam(cfg.weight_decay)
+    r = example_pixel_batch["origins"].shape[0]
+    s = cfg.num_samples
+    pos = jnp.zeros((r, s, 3))
+    dirs = jnp.ones((r, s, 3))
+    data = {}
+    if "normed_timestamps" in example_pixel_batch:
+        data["normed_timestamps"] = jnp.zeros((r, s))
+    if "img_idx" in example_pixel_batch:
+        data["img_idx"] = jnp.zeros((r, s), jnp.int32)
+    if "cam_idx" in example_pixel_batch:
+        data["cam_idx"] = jnp.zeros((r, s), jnp.int32)
+    if "pixel_coords" in example_pixel_batch:
+        data["pixel_coords"] = jnp.zeros((r, 2))
+
+    k_model, *k_props = jax.random.split(key, 1 + len(prop_models))
+    params = model.init(
+        {"params": k_model, "aggregation": k_model}, pos, dirs, data,
+        train=False,
+    )["params"]
+    prop_params = tuple(
+        pm.init(k, pos)["params"] for pm, k in zip(prop_models, k_props)
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        prop_params=prop_params,
+        opt_state=tx.init(params),
+        prop_opt_state=tx.init(prop_params),
+    )

@@ -1,0 +1,178 @@
+"""End-to-end training tests on the analytic synthetic scene."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emernerf_tpu.data.scene import (
+    SceneTensors,
+    sample_lidar_batch,
+    sample_pixel_batch,
+    update_pixel_error_map,
+)
+from emernerf_tpu.data.synthetic import make_synthetic_scene
+from emernerf_tpu.models.fields import DensityField, RadianceField
+from emernerf_tpu.ops.hashgrid import HashGridSpec
+from emernerf_tpu.render.prop_sampler import proposal_requires_grad_schedule
+from emernerf_tpu.train.optim import chained_lr_schedule
+from emernerf_tpu.train.step import TrainStepConfig, build_train_step, init_train_state
+
+HW = (24, 32)
+
+
+def _make_scene(dynamic=False):
+    s = make_synthetic_scene(num_frames=4, hw=HW, dynamic=dynamic,
+                             num_lidar_rays_per_frame=256)
+    n = s["images"].shape[0]
+    return s, SceneTensors(
+        images=jnp.asarray(s["images"]),
+        c2w=jnp.asarray(s["c2w"]),
+        intrinsics=jnp.asarray(s["intrinsics"]),
+        normed_timestamps=jnp.asarray(s["normed_timestamps"]),
+        cam_ids=jnp.asarray(s["cam_ids"]),
+        train_indices=jnp.arange(n, dtype=jnp.int32),
+        sky_masks=jnp.asarray(s["sky_masks"]),
+        lidar_origins=jnp.asarray(s["lidar_origins"]),
+        lidar_viewdirs=jnp.asarray(s["lidar_viewdirs"]),
+        lidar_ranges=jnp.asarray(s["lidar_ranges"]),
+        lidar_normed_timestamps=jnp.asarray(s["lidar_normed_timestamps"]),
+        aabb=jnp.asarray(s["aabb"]),
+    )
+
+
+def _make_models(scene_np, dynamic=False, flow=False):
+    aabb = tuple(float(v) for v in scene_np["aabb"])
+    spec3 = HashGridSpec(3, 6, 8, 256, 14, 2)
+    spec4 = HashGridSpec(4, 6, 8, 128, 13, 2)
+    model = RadianceField(
+        static_spec=spec3,
+        dynamic_spec=spec4 if dynamic else None,
+        flow_spec=spec4 if flow else None,
+        aabb=aabb,
+        geometry_feature_dim=16,
+        base_mlp_layer_width=32,
+        head_mlp_layer_width=32,
+        semantic_feature_dim=0,
+        enable_img_embedding=True,
+        num_train_timesteps=scene_np["num_frames"],
+        num_cams=scene_np["num_cams"],
+        appearance_embedding_dim=4,
+        enable_sky_head=True,
+        time_diff=scene_np["time_diff"],
+    )
+    prop = DensityField(
+        spec=HashGridSpec(3, 4, 8, 128, 14, 1), aabb=aabb,
+        base_mlp_layer_width=32,
+    )
+    return model, [prop]
+
+
+def test_lr_schedule_matches_torch_chained():
+    lr_fn = chained_lr_schedule(0.01, 25000)
+    # warmup start: factor 0.01
+    assert np.isclose(float(lr_fn(0)), 1e-4, rtol=1e-4)
+    # end of warmup (2500 scheduler steps)
+    assert np.isclose(float(lr_fn(2500)), 0.01, rtol=1e-4)
+    # after first milestone (num_iters//4 scheduler steps)
+    assert np.isclose(float(lr_fn(7000)), 0.01 * 0.33, rtol=1e-4)
+    assert np.isclose(float(lr_fn(13000)), 0.01 * 0.33**2, rtol=1e-4)
+    assert np.isclose(float(lr_fn(24000)), 0.01 * 0.33**4, rtol=1e-4)
+
+
+def test_sampling_batches():
+    scene_np, scene = _make_scene()
+    key = jax.random.PRNGKey(0)
+    batch = sample_pixel_batch(scene, key, 128)
+    assert batch["origins"].shape == (128, 3)
+    assert batch["pixels"].shape == (128, 3)
+    assert batch["sky_masks"].shape == (128,)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(batch["viewdirs"]), axis=-1), 1.0, atol=1e-4
+    )
+    lbatch = sample_lidar_batch(scene, key, 64)
+    assert lbatch["ranges"].shape == (64,)
+    assert bool(jnp.all(lbatch["ranges"] > 0))
+
+
+def test_importance_sampling_prefers_high_error():
+    scene_np, scene = _make_scene()
+    n, h, w = scene.images.shape[:3]
+    bd = 4
+    err = jnp.full((n, h // bd, w // bd), 1e-6)
+    err = err.at[2].set(1.0)  # all error concentrated in image 2
+    scene = scene.replace(pixel_error_map=err)
+    # ask for fewer roi rays (32) than high-error buffer entries (48):
+    # sampling is without replacement, like torch.multinomial
+    batch = sample_pixel_batch(scene, jax.random.PRNGKey(0), 64,
+                               buffer_ratio=0.5, buffer_downscale=bd)
+    roi_imgs = np.asarray(batch["img_idx"][32:])
+    assert (roi_imgs == 2).mean() > 0.9
+
+
+def test_update_pixel_error_map():
+    scene_np, scene = _make_scene()
+    pred = jnp.zeros_like(scene.images[:, ::4, ::4])
+    gt = scene.images[:, ::4, ::4]
+    scene2 = update_pixel_error_map(scene, pred, gt)
+    assert scene2.pixel_error_map.shape == gt.shape[:3]
+    assert float(scene2.pixel_error_map.max()) == 1.0
+
+
+@pytest.mark.parametrize("dynamic,flow", [(False, False), (True, True)])
+def test_training_improves_psnr(dynamic, flow):
+    scene_np, scene = _make_scene(dynamic=dynamic)
+    model, props = _make_models(scene_np, dynamic=dynamic, flow=flow)
+    cfg = TrainStepConfig(
+        num_samples=16,
+        prop_samples=(24,),
+        use_sky_loss=True,
+        has_lidar=True,
+        has_flow=flow,
+        use_dynamic_reg=dynamic,
+        num_iters=2000,
+        los_enable=True,
+        los_start_iter=50,
+        depth_upper_bound=80.0,
+        lr=0.01,
+    )
+    key = jax.random.PRNGKey(0)
+    pixel_batch = sample_pixel_batch(scene, key, 256)
+    state = init_train_state(model, props, cfg, key, pixel_batch)
+    step_fn = build_train_step(model, props, cfg)
+    rg_fn = proposal_requires_grad_schedule()
+
+    sample_p = jax.jit(partial(sample_pixel_batch, num_rays=256))
+    sample_l = jax.jit(partial(sample_lidar_batch, num_rays=256))
+
+    psnrs = []
+    for i in range(60):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        pb = sample_p(scene, k1)
+        lb = sample_l(scene, k2)
+        state, metrics = step_fn(
+            state, pb, lb, k3, pixel_rg=rg_fn(i), lidar_rg=rg_fn(i)
+        )
+        psnrs.append(float(metrics["psnr"]))
+
+    early = np.mean(psnrs[:5])
+    late = np.mean(psnrs[-5:])
+    assert late > early + 2.0, f"PSNR did not improve: {early:.2f} -> {late:.2f}"
+    assert np.isfinite(psnrs).all()
+
+
+def test_train_state_step_advances_and_lr_logged():
+    scene_np, scene = _make_scene()
+    model, props = _make_models(scene_np)
+    cfg = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=False,
+                          use_sky_loss=False, num_iters=100)
+    key = jax.random.PRNGKey(0)
+    pb = sample_pixel_batch(scene, key, 64)
+    state = init_train_state(model, props, cfg, key, pb)
+    step_fn = build_train_step(model, props, cfg)
+    state, metrics = step_fn(state, pb, None, key, pixel_rg=True, lidar_rg=False)
+    assert int(state.step) == 1
+    assert "lr" in metrics and float(metrics["lr"]) > 0
+    assert "prop_loss" in metrics
