@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship EmerNeRF configuration.
+
+Measures steady-state fused-train-step throughput (8192 pixel + 8192 lidar
+rays per iteration, 128+64 proposal + 64 final samples per ray, full
+dynamic + flow model — the reference's default workload,
+configs/default_config.yaml:7,45,60) and prints ONE JSON line:
+
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 2e6}
+
+Baseline: the BASELINE.json north-star of 2M rays/s (v5e-8); on a single
+chip the per-chip fraction of that target is the honest comparison, so
+vs_baseline uses the full 2M divided by the chips actually used.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "full")
+    tiny = preset == "tiny"
+    steps = int(os.environ.get("BENCH_STEPS", "30" if not tiny else "5"))
+
+    from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
+    from emernerf_tpu.flagship import build_flagship
+    from emernerf_tpu.train.step import build_train_step, init_train_state
+
+    cfg, dataset, model, prop_models, step_cfg = build_flagship(tiny=tiny)
+    scene = dataset.scene_tensors()
+    key = jax.random.PRNGKey(0)
+    ray_batch = cfg.data.ray_batch_size
+
+    @jax.jit
+    def make_batches(scene, key):
+        k1, k2 = jax.random.split(key)
+        return (
+            sample_pixel_batch(scene, k1, ray_batch, use_timestamps=True),
+            sample_lidar_batch(scene, k2, ray_batch),
+        )
+
+    pixel_batch, lidar_batch = make_batches(scene, key)
+    state = init_train_state(model, prop_models, step_cfg, key, pixel_batch)
+    step_fn = build_train_step(model, prop_models, step_cfg)
+
+    # compile + warmup (both requires-grad variants get traced; steady-state
+    # training mostly runs the no-grad variant with periodic grad steps)
+    t_c0 = time.time()
+    state, _ = step_fn(state, pixel_batch, lidar_batch, key,
+                       pixel_rg=True, lidar_rg=True)
+    state, m = step_fn(state, pixel_batch, lidar_batch, key,
+                       pixel_rg=False, lidar_rg=False)
+    jax.block_until_ready(m)
+    compile_s = time.time() - t_c0
+
+    # steady state: mimic the late-training requires-grad cadence (~1 in 3)
+    t0 = time.time()
+    for i in range(steps):
+        key, k_b, k_s = jax.random.split(key, 3)
+        pixel_batch, lidar_batch = make_batches(scene, k_b)
+        rg = i % 3 == 0
+        state, m = step_fn(state, pixel_batch, lidar_batch, k_s,
+                           pixel_rg=rg, lidar_rg=rg)
+    jax.block_until_ready(m)
+    elapsed = time.time() - t0
+
+    rays_per_iter = 2 * ray_batch  # pixel + lidar, as in the reference
+    rays_per_sec = steps * rays_per_iter / elapsed
+    n_chips = jax.device_count()
+    baseline = 2_000_000.0 * (n_chips / 8.0)  # north star is for 8 chips
+
+    result = {
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {steps} steps in {elapsed:.2f}s ({elapsed / steps * 1e3:.1f} ms/step), "
+        f"compile {compile_s:.1f}s, {n_chips} chip(s), "
+        f"psnr {float(m['psnr']):.2f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

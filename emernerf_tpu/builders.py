@@ -1,0 +1,220 @@
+"""Factories: config + dataset -> models, train-step config, state.
+
+Counterpart of /root/reference/builders.py, including the dataset-derived
+hyperparameter injection (aabb, num_train_timesteps, num_cams) and the
+img->cam embedding override when a test split exists (builders.py:26-32).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from emernerf_tpu.config import ConfigNode
+from emernerf_tpu.data.dataset import SceneDataset
+from emernerf_tpu.models.fields import DensityField, RadianceField
+from emernerf_tpu.ops.hashgrid import HashGridSpec
+from emernerf_tpu.train.step import TrainStepConfig
+
+
+def _hash_spec(enc_cfg: ConfigNode) -> HashGridSpec:
+    return HashGridSpec(
+        n_input_dims=enc_cfg.n_input_dims,
+        n_levels=enc_cfg.n_levels,
+        base_resolution=enc_cfg.base_resolution,
+        max_resolution=enc_cfg.max_resolution,
+        log2_hashmap_size=enc_cfg.log2_hashmap_size,
+        n_features_per_level=enc_cfg.n_features_per_level,
+    )
+
+
+# Flow encoder structure is hardcoded in the reference
+# (radiance_field.py:916-923).
+FLOW_SPEC = HashGridSpec(
+    n_input_dims=4, n_levels=10, base_resolution=16, max_resolution=4096,
+    log2_hashmap_size=18, n_features_per_level=4,
+)
+
+
+def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceField:
+    """cfg is the full config; consumes cfg.nerf.model + cfg.data."""
+    model_cfg = cfg.nerf.model
+    head = model_cfg.head
+    enable_cam = head.enable_cam_embedding
+    enable_img = head.enable_img_embedding
+    if dataset.has_test_split and enable_img:
+        # per-image embeddings can't generalize to held-out images
+        # (reference builders.py:26-32)
+        enable_cam, enable_img = True, False
+
+    enable_feature = head.enable_feature_head
+    semantic_dim = model_cfg.neck.semantic_feature_dim if enable_feature else 0
+    feature_dim = head.feature_embedding_dim
+    if enable_feature and dataset.features is not None:
+        feature_dim = int(dataset.features.shape[-1])
+
+    dynamic_spec = (
+        _hash_spec(model_cfg.dynamic_xyz_encoder)
+        if head.enable_dynamic_branch
+        else None
+    )
+    flow_spec = FLOW_SPEC if head.enable_flow_branch else None
+
+    return RadianceField(
+        static_spec=_hash_spec(model_cfg.xyz_encoder),
+        dynamic_spec=dynamic_spec,
+        flow_spec=flow_spec,
+        aabb=tuple(float(v) for v in dataset.aabb),
+        unbounded=cfg.nerf.unbounded,
+        geometry_feature_dim=model_cfg.neck.geometry_feature_dim,
+        base_mlp_layer_width=model_cfg.neck.base_mlp_layer_width,
+        head_mlp_layer_width=head.head_mlp_layer_width,
+        enable_cam_embedding=enable_cam,
+        enable_img_embedding=enable_img,
+        num_cams=dataset.num_cams,
+        appearance_embedding_dim=head.appearance_embedding_dim,
+        semantic_feature_dim=semantic_dim,
+        feature_mlp_layer_width=head.feature_mlp_layer_width,
+        feature_embedding_dim=feature_dim,
+        enable_sky_head=head.enable_sky_head,
+        enable_shadow_head=head.enable_shadow_head,
+        enable_feature_head=enable_feature,
+        enable_learnable_pe=head.enable_learnable_pe,
+        num_train_timesteps=dataset.num_img_timesteps,
+        time_diff=dataset.time_diff,
+    )
+
+
+def build_propnets_from_cfg(
+    cfg: ConfigNode, dataset: SceneDataset
+) -> List[DensityField]:
+    """Two proposal density fields (reference builders.py:92-110)."""
+    pcfg = cfg.nerf.propnet
+    enc = pcfg.xyz_encoder
+    nets = []
+    for i in range(len(pcfg.num_samples_per_prop)):
+        spec = HashGridSpec(
+            n_input_dims=enc.n_input_dims,
+            n_levels=enc.n_levels_per_prop[i],
+            base_resolution=enc.base_resolutions_per_prop[i],
+            max_resolution=enc.max_resolution_per_prop[i],
+            log2_hashmap_size=enc.lgo2_hashmap_size_per_prop[i],
+            n_features_per_level=enc.n_features_per_level,
+        )
+        nets.append(
+            DensityField(
+                spec=spec,
+                aabb=tuple(float(v) for v in dataset.aabb),
+                unbounded=cfg.nerf.unbounded,
+            )
+        )
+    return nets
+
+
+def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStepConfig:
+    sup = cfg.supervision
+    head = cfg.nerf.model.head
+    has_lidar = (
+        dataset.lidar is not None
+        and cfg.data.lidar_source.load_lidar
+        and sup.depth.enable
+    )
+    return TrainStepConfig(
+        num_samples=cfg.nerf.sampling.num_samples,
+        prop_samples=tuple(cfg.nerf.propnet.num_samples_per_prop),
+        near_plane=cfg.nerf.propnet.near_plane,
+        far_plane=cfg.nerf.propnet.far_plane,
+        sampling_type=cfg.nerf.propnet.sampling_type,
+        enable_anti_aliasing=cfg.nerf.propnet.enable_anti_aliasing_level_loss,
+        pulse_widths=tuple(cfg.nerf.propnet.anti_aliasing_pulse_width),
+        rgb_loss_type=sup.rgb.loss_type,
+        rgb_coef=sup.rgb.loss_coef,
+        use_sky_loss=bool(
+            cfg.data.pixel_source.load_sky_mask and head.enable_sky_head
+            and dataset.sky_masks is not None
+        ),
+        sky_loss_type=sup.sky.loss_type,
+        sky_coef=sup.sky.loss_coef,
+        use_feature_loss=bool(
+            cfg.data.pixel_source.load_features and head.enable_feature_head
+            and dataset.features is not None
+        ),
+        feature_loss_type=sup.feature.loss_type,
+        feature_coef=sup.feature.loss_coef,
+        use_dynamic_reg=head.enable_dynamic_branch,
+        dynamic_loss_type=sup.dynamic.loss_type,
+        dynamic_coef=sup.dynamic.loss_coef,
+        entropy_skewness=sup.dynamic.entropy_loss_skewness,
+        use_shadow_loss=head.enable_shadow_head,
+        shadow_loss_type=sup.shadow.loss_type,
+        shadow_coef=sup.shadow.loss_coef,
+        has_flow=head.enable_flow_branch,
+        has_lidar=has_lidar,
+        depth_loss_type=sup.depth.loss_type,
+        depth_coef=sup.depth.loss_coef,
+        los_enable=sup.depth.line_of_sight.enable,
+        los_coef=sup.depth.line_of_sight.loss_coef,
+        los_start_iter=sup.depth.line_of_sight.start_iter,
+        los_start_epsilon=sup.depth.line_of_sight.start_epsilon,
+        los_end_epsilon=sup.depth.line_of_sight.end_epsilon,
+        los_decay_steps=sup.depth.line_of_sight.decay_steps,
+        los_decay_rate=sup.depth.line_of_sight.decay_rate,
+        lr=cfg.optim.lr,
+        weight_decay=float(cfg.optim.weight_decay),
+        num_iters=cfg.optim.num_iters,
+    )
+
+
+def build_dataset_from_cfg(cfg: ConfigNode) -> SceneDataset:
+    """Dataset dispatch (train_emernerf.py:441-448 + synthetic)."""
+    name = cfg.data.dataset
+    if name == "synthetic":
+        from emernerf_tpu.data.synthetic import make_synthetic_scene
+
+        syn = cfg.data.synthetic
+        s = make_synthetic_scene(
+            num_frames=syn.num_frames,
+            num_cams=cfg.data.pixel_source.num_cams,
+            hw=(syn.image_height, syn.image_width),
+            dynamic=syn.dynamic,
+        )
+        n_cams = s["num_cams"]
+        lidar = None
+        if cfg.data.lidar_source.load_lidar:
+            frame_idx = np.round(
+                s["lidar_normed_timestamps"] * (s["num_frames"] - 1)
+            ).astype(np.int64)
+            lidar = dict(
+                origins=s["lidar_origins"],
+                viewdirs=s["lidar_viewdirs"],
+                ranges=s["lidar_ranges"],
+                frame_idx=frame_idx,
+            )
+        return SceneDataset(
+            images=s["images"],
+            c2w=s["c2w"],
+            intrinsics=s["intrinsics"],
+            frame_idx=np.repeat(np.arange(s["num_frames"]), n_cams),
+            cam_ids=s["cam_ids"],
+            sky_masks=s["sky_masks"]
+            if cfg.data.pixel_source.load_sky_mask
+            else None,
+            dynamic_masks=s["dynamic_masks"]
+            if cfg.data.pixel_source.load_dynamic_mask
+            else None,
+            lidar=lidar,
+            aabb=s["aabb"],
+            test_image_stride=cfg.data.pixel_source.test_image_stride,
+            buffer_downscale=cfg.data.pixel_source.sampler.buffer_downscale,
+            buffer_ratio=cfg.data.pixel_source.sampler.buffer_ratio,
+        )
+    if name == "waymo":
+        from emernerf_tpu.data.waymo import load_waymo_dataset
+
+        return load_waymo_dataset(cfg)
+    if name == "nuscenes":
+        from emernerf_tpu.data.nuscenes import load_nuscenes_dataset
+
+        return load_nuscenes_dataset(cfg)
+    raise ValueError(f"Unknown dataset: {name}")

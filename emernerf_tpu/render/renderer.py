@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from emernerf_tpu.render.prop_sampler import sample_along_rays
@@ -40,6 +41,7 @@ def render_ray_batch(
     is_lidar: bool = False,
     train: bool = False,
     rngs: Optional[dict] = None,
+    remat: bool = False,
 ):
     """Render one ray batch.
 
@@ -86,15 +88,22 @@ def render_ray_batch(
     if "pixel_coords" in rays and rays["pixel_coords"] is not None:
         data["pixel_coords"] = rays["pixel_coords"]
 
-    field_out = model.apply(
-        {"params": params},
-        positions,
-        directions,
-        data,
-        return_density_only=is_lidar,
-        train=train,
-        rngs=rngs,
-    )
+    def apply_field(params, positions, directions, data, rngs):
+        return model.apply(
+            {"params": params},
+            positions,
+            directions,
+            data,
+            return_density_only=is_lidar,
+            train=train,
+            rngs=rngs,
+        )
+
+    if remat:
+        # recompute the field query in the backward pass instead of holding
+        # every head's activations for 8192x64 samples (HBM pressure)
+        apply_field = jax.checkpoint(apply_field)
+    field_out = apply_field(params, positions, directions, data, rngs)
     results = composite_rays(
         t_starts, t_ends, field_out, return_decomposition=return_decomposition
     )

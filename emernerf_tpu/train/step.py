@@ -153,7 +153,8 @@ def build_train_step(
         out, caches, s_vals = render_ray_batch(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
-            train=True, rngs={"aggregation": agg_key}, **render_kw,
+            train=True, rngs={"aggregation": agg_key}, remat=True,
+            **render_kw,
         )
         extras = out["extras"]
         losses: Dict[str, jnp.ndarray] = {
@@ -212,7 +213,7 @@ def build_train_step(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
             is_lidar=True, train=True, rngs={"aggregation": agg_key},
-            **render_kw,
+            remat=True, **render_kw,
         )
         extras = out["extras"]
         losses = {

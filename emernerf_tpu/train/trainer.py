@@ -1,0 +1,276 @@
+"""Training orchestration: the outer loop around the fused train step.
+
+Counterpart of the reference ``main()`` loop
+(/root/reference/train_emernerf.py:434-1023): builds dataset/models/state,
+iterates the jitted step with host-side proposal-requires-grad scheduling,
+and handles periodic checkpointing, pixel-error-buffer refresh
+(cache_rgb_freq), and end-of-training evaluation with metric JSON + videos.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emernerf_tpu.builders import (
+    build_dataset_from_cfg,
+    build_model_from_cfg,
+    build_propnets_from_cfg,
+    build_train_step_config,
+)
+from emernerf_tpu.config import ConfigNode
+from emernerf_tpu.data.scene import (
+    sample_lidar_batch,
+    sample_pixel_batch,
+    update_pixel_error_map,
+)
+from emernerf_tpu.eval.metrics import compute_valid_depth_rmse
+from emernerf_tpu.eval.renderer import ImageRenderer
+from emernerf_tpu.eval.video import save_videos
+from emernerf_tpu.render.prop_sampler import proposal_requires_grad_schedule
+from emernerf_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from emernerf_tpu.train.step import build_train_step, init_train_state
+from emernerf_tpu.utils.logging import MetricLogger
+
+logger = logging.getLogger("emernerf_tpu")
+
+
+class Trainer:
+    def __init__(self, cfg: ConfigNode, log_dir: str):
+        self.cfg = cfg
+        self.log_dir = log_dir
+
+        logger.info("Building dataset...")
+        self.dataset = build_dataset_from_cfg(cfg)
+        logger.info(
+            "Dataset: %d images (%d train / %d test), aabb=%s",
+            self.dataset.num_images, len(self.dataset.train_indices),
+            len(self.dataset.test_indices), self.dataset.aabb,
+        )
+        self.scene = self.dataset.scene_tensors()
+
+        self.model = build_model_from_cfg(cfg, self.dataset)
+        self.prop_models = build_propnets_from_cfg(cfg, self.dataset)
+        self.step_cfg = build_train_step_config(cfg, self.dataset)
+        logger.info("Train step config: %s", self.step_cfg)
+
+        self.ray_batch_size = cfg.data.ray_batch_size
+        self.buffer_ratio = cfg.data.pixel_source.sampler.buffer_ratio
+        self.buffer_downscale = cfg.data.pixel_source.sampler.buffer_downscale
+
+        key = jax.random.PRNGKey(cfg.optim.seed)
+        self.key = key
+        example_batch = sample_pixel_batch(
+            self.scene, key, self.ray_batch_size,
+            use_timestamps=self.model.has_dynamic,
+        )
+        self.state = init_train_state(
+            self.model, self.prop_models, self.step_cfg, key, example_batch
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
+        logger.info("Model parameters: %.2fM", n_params / 1e6)
+
+        self.train_step = build_train_step(
+            self.model, self.prop_models, self.step_cfg
+        )
+        self._sample_pixel = jax.jit(
+            partial(
+                sample_pixel_batch,
+                num_rays=self.ray_batch_size,
+                buffer_ratio=self.buffer_ratio,
+                buffer_downscale=self.buffer_downscale,
+                use_timestamps=self.model.has_dynamic,
+            )
+        )
+        self._sample_pixel_uniform = jax.jit(
+            partial(
+                sample_pixel_batch,
+                num_rays=self.ray_batch_size,
+                buffer_ratio=0.0,
+                use_timestamps=self.model.has_dynamic,
+            )
+        )
+        if self.step_cfg.has_lidar:
+            self._sample_lidar = jax.jit(
+                partial(sample_lidar_batch, num_rays=self.ray_batch_size)
+            )
+
+        self.renderer = ImageRenderer(
+            self.model, self.prop_models,
+            num_samples=cfg.nerf.sampling.num_samples,
+            prop_samples=tuple(cfg.nerf.propnet.num_samples_per_prop),
+            near_plane=cfg.nerf.propnet.near_plane,
+            far_plane=cfg.nerf.propnet.far_plane,
+            sampling_type=cfg.nerf.propnet.sampling_type,
+            chunk_size=cfg.render.render_chunk_size,
+            return_decomposition=self.model.has_dynamic,
+        )
+
+        self.start_step = 0
+        if cfg.resume_from:
+            self.state = load_checkpoint(cfg.resume_from, self.state)
+            self.start_step = int(self.state.step)
+            logger.info("Resumed from %s at step %d", cfg.resume_from,
+                        self.start_step)
+
+    # ---------------------------------------------------------------- #
+    def train(self):
+        cfg = self.cfg
+        num_iters = cfg.optim.num_iters
+        metrics_file = os.path.join(self.log_dir, "metrics.json")
+        metric_logger = MetricLogger(delimiter="  ", output_file=metrics_file)
+        rg_fn = proposal_requires_grad_schedule()
+        error_map_buffered = False
+
+        all_iters = np.arange(self.start_step, num_iters + 1)
+        for step in metric_logger.log_every(all_iters, cfg.logging.print_freq):
+            self.key, k_p, k_l, k_s = jax.random.split(self.key, 4)
+            pixel_rg = rg_fn(int(step))
+            if error_map_buffered and self.buffer_ratio > 0:
+                pixel_batch = self._sample_pixel(self.scene, k_p)
+            else:
+                pixel_batch = self._sample_pixel_uniform(self.scene, k_p)
+            if self.step_cfg.has_lidar:
+                lidar_rg = rg_fn(int(step))
+                lidar_batch = self._sample_lidar(self.scene, k_l)
+            else:
+                lidar_rg = False
+                lidar_batch = None
+
+            self.state, m = self.train_step(
+                self.state, pixel_batch, lidar_batch, k_s,
+                pixel_rg=pixel_rg, lidar_rg=lidar_rg,
+            )
+
+            if step % cfg.logging.print_freq == 0 or step == num_iters:
+                metric_logger.update(
+                    **{k: float(v) for k, v in m.items() if np.ndim(v) == 0}
+                )
+
+            if (
+                step > 0
+                and cfg.logging.saveckpt_freq > 0
+                and step % cfg.logging.saveckpt_freq == 0
+                and not cfg.resume_from
+            ):
+                path = save_checkpoint(self.log_dir, self.state)
+                logger.info("Saved checkpoint: %s", path)
+
+            # pixel-error-buffer refresh from low-res renders
+            # (train_emernerf.py:879-930)
+            if (
+                self.buffer_ratio > 0
+                and step > 0
+                and step % cfg.optim.cache_rgb_freq == 0
+            ):
+                self._refresh_error_map()
+                error_map_buffered = True
+
+        path = save_checkpoint(self.log_dir, self.state)
+        logger.info("Saved final checkpoint: %s", path)
+        return self.state
+
+    # ---------------------------------------------------------------- #
+    def _refresh_error_map(self):
+        logger.info("Refreshing pixel error buffer...")
+        ds = self.buffer_downscale
+        preds, gts, dyn_ops = [], [], []
+        for idx in self.dataset.full_indices:
+            rays, gt = self.dataset.get_image_rays(int(idx), downscale=ds)
+            maps = self.renderer.render_image(
+                self.state.params, self.state.prop_params, rays, gt["hw"]
+            )
+            preds.append(maps["rgb"])
+            gts.append(gt["pixels"])
+            if "dynamic_opacity" in maps:
+                dyn_ops.append(maps["dynamic_opacity"])
+        pred = jnp.asarray(np.stack(preds))
+        gtv = jnp.asarray(np.stack(gts))
+        dyn = jnp.asarray(np.stack(dyn_ops)) if dyn_ops else None
+        self.scene = update_pixel_error_map(self.scene, pred, gtv, dyn)
+
+    # ---------------------------------------------------------------- #
+    def evaluate(self, step: Optional[int] = None) -> Dict[str, float]:
+        """End-of-training evaluation (train_emernerf.py:185-431): renders
+        the configured splits, writes metric JSONs and videos."""
+        cfg = self.cfg
+        step = int(self.state.step) if step is None else step
+        results: Dict[str, float] = {}
+        video_dir = os.path.join(self.log_dir, "videos")
+        os.makedirs(video_dir, exist_ok=True)
+
+        vis_keys = ["gt_rgb", "rgb", "depth"]
+        if self.model.has_dynamic:
+            vis_keys += ["static_rgb", "dynamic_rgb", "dynamic_depth"]
+        if self.model.has_flow:
+            vis_keys += ["forward_flow", "backward_flow"]
+        if self.model.enable_feature_head:
+            vis_keys += ["dino_feat"]
+
+        def _run(split_name, indices, downscale):
+            if len(indices) == 0:
+                return
+            frames, metrics = self.renderer.render_split(
+                self.state.params, self.state.prop_params, self.dataset,
+                indices, downscale=downscale,
+            )
+            for k, v in metrics.items():
+                results[f"{split_name}/{k}"] = v
+            n_t = len(indices) // self.dataset.num_cams
+            save_videos(
+                frames,
+                os.path.join(video_dir, f"{split_name}_{step}.mp4"),
+                keys=vis_keys,
+                num_timestamps=max(n_t, 1),
+                fps=cfg.render.fps,
+                num_cams=self.dataset.num_cams,
+                save_seperate_video=False,
+            )
+            with open(
+                os.path.join(self.log_dir, f"metrics_{split_name}_{step}.json"),
+                "w",
+            ) as f:
+                json.dump(metrics, f, indent=2)
+            logger.info("[%s] %s", split_name, metrics)
+
+        if cfg.render.render_low_res:
+            _run("lowres", self.dataset.full_indices,
+                 cfg.render.low_res_downscale)
+        if cfg.render.render_test and self.dataset.has_test_split:
+            _run("test", self.dataset.test_indices, 1)
+        if cfg.render.render_full:
+            _run("full", self.dataset.full_indices, 1)
+
+        # lidar depth eval on a few frames
+        if self.dataset.lidar is not None:
+            rmses = []
+            frames_to_eval = range(
+                0, self.dataset.num_frames,
+                max(self.dataset.num_frames // 4, 1),
+            )
+            for f_idx in frames_to_eval:
+                rays = self.dataset.get_lidar_render_rays(f_idx)
+                if rays is None or len(rays["origins"]) == 0:
+                    continue
+                gt_ranges = rays.pop("ranges")
+                out = self.renderer.render_rays_chunked(
+                    self.state.params, self.state.prop_params, rays,
+                    is_lidar=True,
+                )
+                rmses.append(
+                    compute_valid_depth_rmse(out["depth"][..., 0], gt_ranges)
+                )
+            if rmses:
+                results["lidar/depth_rmse"] = float(np.mean(rmses))
+
+        with open(os.path.join(self.log_dir, f"metrics_all_{step}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        logger.info("Evaluation results: %s", results)
+        return results

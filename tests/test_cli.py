@@ -1,0 +1,74 @@
+"""End-to-end CLI test: the reference-compatible trainer entry point on the
+synthetic dataset (the CPU-runnable PR1 slice from BASELINE.json)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY_OVERRIDES = [
+    "data.dataset=synthetic",
+    "data.ray_batch_size=256",
+    "data.synthetic.num_frames=3",
+    "data.synthetic.image_height=20",
+    "data.synthetic.image_width=30",
+    "nerf.model.xyz_encoder.n_levels=4",
+    "nerf.model.xyz_encoder.log2_hashmap_size=12",
+    "nerf.model.xyz_encoder.max_resolution=128",
+    "nerf.propnet.num_samples_per_prop=[16]",
+    "nerf.propnet.xyz_encoder.n_levels_per_prop=[3]",
+    "nerf.propnet.xyz_encoder.max_resolution_per_prop=[64]",
+    "nerf.propnet.xyz_encoder.lgo2_hashmap_size_per_prop=[12]",
+    "nerf.propnet.xyz_encoder.base_resolutions_per_prop=[8]",
+    "nerf.sampling.num_samples=8",
+    "nerf.model.neck.geometry_feature_dim=16",
+    "nerf.model.neck.base_mlp_layer_width=16",
+    "nerf.model.head.head_mlp_layer_width=16",
+    "optim.num_iters=25",
+    "optim.cache_rgb_freq=1000",
+    "logging.print_freq=10",
+    "logging.saveckpt_freq=0",
+    "render.render_chunk_size=600",
+    "render.render_full=false",
+    "render.render_test=false",
+    "render.low_res_downscale=2",
+]
+
+
+def test_cli_train_eval(tmp_path):
+    from train_emernerf import get_args_parser, main
+
+    args = get_args_parser().parse_args(
+        ["--output_root", str(tmp_path), "--project", "p", "--run_name", "r"]
+        + TINY_OVERRIDES
+    )
+    main(args)
+
+    run_dir = tmp_path / "p" / "r"
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "metrics.json").exists()
+    metric_files = list(run_dir.glob("metrics_all_*.json"))
+    assert metric_files, "evaluation metrics json missing"
+    results = json.loads(metric_files[0].read_text())
+    assert "lowres/psnr" in results
+    assert np.isfinite(results["lowres/psnr"])
+    # checkpoint written at end of training
+    assert list(run_dir.glob("checkpoint_*")), "final checkpoint missing"
+
+
+def test_cli_dotlist_overrides(tmp_path):
+    from train_emernerf import get_args_parser, setup
+
+    args = get_args_parser().parse_args(
+        [
+            "--output_root", str(tmp_path), "--project", "p2",
+            "--run_name", "r2", "optim.lr=0.123", "data.scene_idx=42",
+        ]
+    )
+    cfg = setup(args)
+    assert cfg.optim.lr == 0.123
+    assert cfg.data.scene_idx == 42
+    assert (tmp_path / "p2" / "r2" / "config.yaml").exists()

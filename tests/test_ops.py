@@ -211,3 +211,33 @@ def test_grid_sample_zero_padding():
     img = jnp.ones((4, 4, 2))
     out = grid_sample_2d(img, jnp.asarray([-1.5]), jnp.asarray([0.0]))
     np.testing.assert_allclose(np.asarray(out), [[0.0, 0.0]], atol=1e-6)
+
+
+def test_hashgrid_custom_vjp_matches_autodiff():
+    """The memory-lean custom VJP must produce the same gradients (both for
+    the table and for positions) as plain autodiff of the reference impl."""
+    from emernerf_tpu.ops.hashgrid import hashgrid_encode_ref
+
+    for dims in (3, 4):
+        spec = HashGridSpec(
+            n_input_dims=dims, n_levels=3, base_resolution=4,
+            max_resolution=32, log2_hashmap_size=8, n_features_per_level=2,
+        )
+        table = init_hashgrid_table(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, dims),
+                               minval=0.05, maxval=0.95)
+        cot = jax.random.normal(jax.random.PRNGKey(2),
+                                (32, spec.n_output_dims))
+
+        def loss_custom(t, p):
+            return (hashgrid_encode(t, p, spec) * cot).sum()
+
+        def loss_ref(t, p):
+            return (hashgrid_encode_ref(t, p, spec) * cot).sum()
+
+        gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, x)
+        gt_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(table, x)
+        np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_r),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_r),
+                                   rtol=1e-3, atol=1e-5)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""EmerNeRF-TPU training CLI.
+
+Drop-in counterpart of the reference entry point
+(/root/reference/train_emernerf.py): same flag surface
+(``--config_file ... opts a.b=c`` dotlist overrides), same log-dir layout
+(``<output_root>/<project>/<run_name>``), config snapshotting, seeding —
+but driving the TPU-native JAX pipeline.
+"""
+
+import argparse
+import logging
+import os
+import random
+import time
+
+import numpy as np
+
+from emernerf_tpu.config import load_config
+from emernerf_tpu.utils.logging import setup_logging
+
+DEFAULT_CONFIG = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "configs", "default_config.yaml"
+)
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("Train EmerNeRF-TPU for a single scene")
+    parser.add_argument("--config_file", help="path to config file", type=str,
+                        default=None)
+    parser.add_argument("--eval_only", action="store_true",
+                        help="perform evaluation only")
+    parser.add_argument("--visualize_voxel", action="store_true",
+                        help="visualize voxel field after training")
+    parser.add_argument(
+        "--render_data_video", action="store_true",
+        help="render a data inspection video before training",
+    )
+    parser.add_argument(
+        "--render_data_video_only", action="store_true",
+        help="render the data video and exit",
+    )
+    parser.add_argument(
+        "--render_video_postfix", type=str, default=None,
+        help="an optional postfix for rendered video names",
+    )
+    parser.add_argument("--output_root", default="./work_dirs/", type=str,
+                        help="output root directory")
+    parser.add_argument("--project", default="emernerf_tpu", type=str,
+                        help="project name (sub-directory of output root)")
+    parser.add_argument("--run_name", default="debug", type=str,
+                        help="run name (sub-directory of project)")
+    parser.add_argument(
+        "--enable_wandb", action="store_true",
+        help="enable wandb logging (no-op if wandb is unavailable)",
+    )
+    parser.add_argument(
+        "opts", nargs=argparse.REMAINDER,
+        help="dotlist config overrides, e.g. data.scene_idx=700",
+    )
+    return parser
+
+
+def setup(args):
+    """Merge configs, create the run directory tree, snapshot the config
+    (reference train_emernerf.py:123-182)."""
+    cfg = load_config(DEFAULT_CONFIG, args.config_file, args.opts)
+
+    log_dir = os.path.join(args.output_root, args.project, args.run_name)
+    cfg.log_dir = log_dir
+    os.makedirs(log_dir, exist_ok=True)
+    for sub in ("images", "full_videos", "test_videos", "lowres_videos",
+                "metrics", "configs_bk", "buffer_maps"):
+        os.makedirs(os.path.join(log_dir, sub), exist_ok=True)
+
+    setup_logging(output=log_dir)
+    logger = logging.getLogger("emernerf_tpu")
+    logger.info("Config:\n%s", cfg.to_yaml())
+
+    cfg.save(os.path.join(log_dir, "config.yaml"))
+    cfg.save(
+        os.path.join(log_dir, "configs_bk", f"config_{int(time.time())}.yaml")
+    )
+
+    random.seed(cfg.optim.seed)
+    np.random.seed(cfg.optim.seed)
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+    from emernerf_tpu.train.trainer import Trainer  # deferred: heavy imports
+
+    trainer = Trainer(cfg, cfg.log_dir)
+    logger = logging.getLogger("emernerf_tpu")
+
+    if args.eval_only:
+        trainer.evaluate()
+        return
+
+    t0 = time.time()
+    trainer.train()
+    elapsed = time.time() - t0
+    iters = cfg.optim.num_iters - trainer.start_step
+    rays_per_iter = cfg.data.ray_batch_size * (
+        2 if trainer.step_cfg.has_lidar else 1
+    )
+    logger.info(
+        "Training done: %d iters in %.1fs (%.0f rays/s)",
+        iters, elapsed, iters * rays_per_iter / max(elapsed, 1e-9),
+    )
+    trainer.evaluate()
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
