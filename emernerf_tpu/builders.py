@@ -190,6 +190,9 @@ def build_dataset_from_cfg(cfg: ConfigNode) -> SceneDataset:
                 viewdirs=s["lidar_viewdirs"],
                 ranges=s["lidar_ranges"],
                 frame_idx=frame_idx,
+                flows=s["lidar_flows"],
+                flow_classes=s["lidar_flow_classes"],
+                ground=s["lidar_ground"],
             )
         return SceneDataset(
             images=s["images"],

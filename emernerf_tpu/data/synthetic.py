@@ -84,7 +84,8 @@ def _trace(origins, dirs, t_norm: float, dynamic: bool):
     shade = 0.7 + 0.3 * np.clip(-dirs[..., 2], 0, 1)
     rgb = rgb * shade[..., None]
     is_dynamic = (t_dyn == t_hit) & np.isfinite(t_hit)
-    return rgb.astype(np.float32), t_hit, is_dynamic
+    is_ground = (t_plane == t_hit) & np.isfinite(t_hit)
+    return rgb.astype(np.float32), t_hit, is_dynamic, is_ground
 
 
 def make_camera_poses(num_frames: int, num_cams: int = 1):
@@ -149,13 +150,15 @@ def make_synthetic_scene(
         dirs = cam_dirs @ c2ws[i, :3, :3].T
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         origins = np.broadcast_to(c2ws[i, :3, 3], dirs.shape)
-        rgb, t_hit, is_dyn = _trace(origins, dirs, float(t_norm[i]), dynamic)
+        rgb, t_hit, is_dyn, _ = _trace(origins, dirs, float(t_norm[i]), dynamic)
         images[i] = np.clip(rgb, 0, 1)
         sky_masks[i] = (~np.isfinite(t_hit)).astype(np.float32)
         dynamic_masks[i] = is_dyn.astype(np.float32)
 
     # ---- lidar: random rays from the ego position of each frame ----
     lo, ld, lr, lt = [], [], [], []
+    lflow, lclass, lground = [], [], []
+    dt = 1.0 / max(num_frames - 1, 1)
     for f in range(num_frames):
         origin = np.array([1.5 * f, 0.0, 2.0])
         az = rng.uniform(-np.pi, np.pi, num_lidar_rays_per_frame)
@@ -165,19 +168,28 @@ def make_synthetic_scene(
             [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1
         )
         origins = np.broadcast_to(origin, dirs.shape)
-        _, t_hit, _ = _trace(
-            origins, dirs, f / max(num_frames - 1, 1), dynamic
-        )
+        tn = f * dt
+        _, t_hit, is_dyn, is_ground = _trace(origins, dirs, tn, dynamic)
         valid = np.isfinite(t_hit) & (t_hit < 75.0)
         lo.append(origins[valid])
         ld.append(dirs[valid])
         lr.append(t_hit[valid])
-        lt.append(np.full(valid.sum(), f / max(num_frames - 1, 1)))
+        lt.append(np.full(valid.sum(), tn))
+        # analytic per-scan flow: points on the dynamic sphere translate
+        # with it; everything else is static
+        sphere_flow = _dynamic_center(tn + dt) - _dynamic_center(tn)
+        flow = np.where(is_dyn[valid][:, None], sphere_flow, 0.0)
+        lflow.append(flow)
+        lclass.append(is_dyn[valid].astype(np.int64))
+        lground.append(is_ground[valid])
 
     lidar_origins = np.concatenate(lo).astype(np.float32)
     lidar_viewdirs = np.concatenate(ld).astype(np.float32)
     lidar_ranges = np.concatenate(lr).astype(np.float32)
     lidar_times = np.concatenate(lt).astype(np.float32)
+    lidar_flows = np.concatenate(lflow).astype(np.float32)
+    lidar_classes = np.concatenate(lclass)
+    lidar_ground = np.concatenate(lground)
 
     pts = lidar_origins + lidar_viewdirs * lidar_ranges[:, None]
     aabb_min = np.quantile(pts, 0.02, axis=0)
@@ -197,6 +209,9 @@ def make_synthetic_scene(
         "lidar_viewdirs": lidar_viewdirs,
         "lidar_ranges": lidar_ranges,
         "lidar_normed_timestamps": lidar_times,
+        "lidar_flows": lidar_flows,
+        "lidar_flow_classes": lidar_classes,
+        "lidar_ground": lidar_ground,
         "aabb": aabb,
         "num_frames": num_frames,
         "num_cams": num_cams,

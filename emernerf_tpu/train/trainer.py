@@ -206,6 +206,29 @@ class Trainer:
         video_dir = os.path.join(self.log_dir, "videos")
         os.makedirs(video_dir, exist_ok=True)
 
+        # lidar scene-flow eval (train_emernerf.py:234-288)
+        if (
+            cfg.eval.eval_lidar_flow
+            and self.model.has_flow
+            and self.dataset.lidar is not None
+            and "flows" in self.dataset.lidar
+        ):
+            from emernerf_tpu.eval.flow import evaluate_lidar_flow
+            from emernerf_tpu.eval.points import PointQueryEngine
+
+            engine = PointQueryEngine(self.model)
+            flow_metrics = evaluate_lidar_flow(
+                engine, self.state.params, self.dataset,
+                remove_ground=cfg.eval.remove_ground_when_eval_lidar_flow,
+            )
+            for k, v in flow_metrics.items():
+                results[f"flow/{k}"] = v
+            with open(
+                os.path.join(self.log_dir, f"metrics_flow_{step}.json"), "w"
+            ) as f:
+                json.dump(flow_metrics, f, indent=2)
+            logger.info("[flow] %s", flow_metrics)
+
         vis_keys = ["gt_rgb", "rgb", "depth"]
         if self.model.has_dynamic:
             vis_keys += ["static_rgb", "dynamic_rgb", "dynamic_depth"]

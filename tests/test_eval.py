@@ -150,3 +150,46 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   [0.0, 1.0, 2.0, 3.0])
+
+
+def test_lidar_flow_eval_machinery():
+    """Flow eval runs end-to-end on the synthetic scene with GT flows."""
+    from emernerf_tpu.builders import build_dataset_from_cfg
+    from emernerf_tpu.config import from_dotlist, load_config
+    from emernerf_tpu.eval.flow import evaluate_lidar_flow
+    from emernerf_tpu.eval.points import PointQueryEngine
+
+    DEFAULT = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "default_config.yaml",
+    )
+    cfg = load_config(DEFAULT)
+    cfg.merge_(from_dotlist([
+        "data.dataset=synthetic", "data.synthetic.dynamic=true",
+        "data.synthetic.num_frames=3", "data.synthetic.image_height=12",
+        "data.synthetic.image_width=18", "data.pixel_source.num_cams=1",
+    ]))
+    dataset = build_dataset_from_cfg(cfg)
+    assert "flows" in dataset.lidar
+    # dynamic sphere points must have nonzero gt flow
+    dyn = dataset.lidar["flow_classes"] == 1
+    if dyn.sum():
+        assert np.abs(dataset.lidar["flows"][dyn]).max() > 0.1
+
+    TINY4 = HashGridSpec(4, 3, 4, 16, 8, 2)
+    model = RadianceField(
+        static_spec=TINY3, dynamic_spec=TINY4, flow_spec=TINY4,
+        aabb=tuple(float(v) for v in dataset.aabb),
+        geometry_feature_dim=8, base_mlp_layer_width=16,
+        head_mlp_layer_width=16, semantic_feature_dim=0, time_diff=0.5,
+    )
+    import jax.numpy as jnp
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 2, 3)), jnp.ones((2, 2, 3)),
+        {"normed_timestamps": jnp.zeros((2, 2))},
+    )["params"]
+    engine = PointQueryEngine(model, chunk_size=512)
+    m = evaluate_lidar_flow(engine, params, dataset)
+    assert set(m) == {"EPE3D", "acc3d_strict", "acc3d_relax", "angle_error",
+                      "outlier"}
+    assert all(np.isfinite(v) for v in m.values())
