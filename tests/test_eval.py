@@ -193,3 +193,23 @@ def test_lidar_flow_eval_machinery():
     assert set(m) == {"EPE3D", "acc3d_strict", "acc3d_relax", "angle_error",
                       "outlier"}
     assert all(np.isfinite(v) for v in m.values())
+
+
+def test_data_preview_video(tmp_path):
+    from emernerf_tpu.builders import build_dataset_from_cfg
+    from emernerf_tpu.config import from_dotlist, load_config
+    from emernerf_tpu.eval.data_preview import render_data_video
+
+    DEFAULT = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "default_config.yaml",
+    )
+    cfg = load_config(DEFAULT)
+    cfg.merge_(from_dotlist([
+        "data.dataset=synthetic", "data.synthetic.dynamic=true",
+        "data.synthetic.num_frames=3", "data.synthetic.image_height=16",
+        "data.synthetic.image_width=24", "data.pixel_source.num_cams=1",
+    ]))
+    dataset = build_dataset_from_cfg(cfg)
+    out = render_data_video(dataset, str(tmp_path / "data.mp4"), fps=2)
+    assert os.path.exists(out)

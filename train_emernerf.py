@@ -89,10 +89,32 @@ def setup(args):
 
 def main(args):
     cfg = setup(args)
+    logger = logging.getLogger("emernerf_tpu")
+
+    if args.render_data_video_only:
+        # data-inspection video without building the model
+        from emernerf_tpu.builders import build_dataset_from_cfg
+        from emernerf_tpu.eval.data_preview import render_data_video
+
+        dataset = build_dataset_from_cfg(cfg)
+        render_data_video(
+            dataset, os.path.join(cfg.log_dir, "data.mp4"),
+            fps=cfg.render.fps,
+        )
+        logger.info("Render data video only, exiting...")
+        return
+
     from emernerf_tpu.train.trainer import Trainer  # deferred: heavy imports
 
     trainer = Trainer(cfg, cfg.log_dir)
-    logger = logging.getLogger("emernerf_tpu")
+
+    if args.render_data_video:
+        from emernerf_tpu.eval.data_preview import render_data_video
+
+        render_data_video(
+            trainer.dataset, os.path.join(cfg.log_dir, "data.mp4"),
+            fps=cfg.render.fps,
+        )
 
     if args.eval_only:
         trainer.evaluate()
