@@ -66,7 +66,9 @@ class DensityField(nn.Module):
         else:
             normed = normalize_aabb(positions, aabb)
         normed = normed * inside_unit_cube_selector(normed)[..., None]
-        enc = hashgrid_encode(self.table, normed, self.spec).astype(jnp.float32)
+        enc = hashgrid_encode(
+            self.table, normed, self.spec, needs_pos_grad=False
+        ).astype(jnp.float32)
         raw = self.base_mlp(enc)[..., 0]
         return density_activation(raw)
 
@@ -203,27 +205,36 @@ class RadianceField(nn.Module):
 
     def forward_static_hash(self, positions):
         normed = self.contract_points(positions)
-        enc = hashgrid_encode(self.xyz_table, normed, self.static_spec)
+        # sampled positions carry no gradient -> skip d/dpos in the VJP
+        enc = hashgrid_encode(
+            self.xyz_table, normed, self.static_spec, needs_pos_grad=False
+        )
         return self.base_mlp(enc.astype(jnp.float32)), normed
 
-    def forward_dynamic_hash(self, normed_positions, normed_timestamps):
-        """4D (xyz, t) hash encode + dynamic base MLP. Returns (feats, enc)."""
+    def forward_dynamic_hash(self, normed_positions, normed_timestamps,
+                             needs_pos_grad=False):
+        """4D (xyz, t) hash encode + dynamic base MLP. Returns (feats, enc).
+        ``needs_pos_grad`` is True only for flow-warped queries (their
+        positions depend on the flow field)."""
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
-        enc = hashgrid_encode(self.dynamic_table, xyzt, self.dynamic_spec).astype(
-            jnp.float32
-        )
+        enc = hashgrid_encode(
+            self.dynamic_table, xyzt, self.dynamic_spec,
+            needs_pos_grad=needs_pos_grad,
+        ).astype(jnp.float32)
         return self.dynamic_base_mlp(enc), enc
 
-    def forward_flow_hash(self, normed_positions, normed_timestamps):
+    def forward_flow_hash(self, normed_positions, normed_timestamps,
+                          needs_pos_grad=False):
         """Flow field query -> (..., 6) = (forward_flow, backward_flow)."""
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
-        enc = hashgrid_encode(self.flow_table, xyzt, self.flow_spec).astype(
-            jnp.float32
-        )
+        enc = hashgrid_encode(
+            self.flow_table, xyzt, self.flow_spec,
+            needs_pos_grad=needs_pos_grad,
+        ).astype(jnp.float32)
         return self.flow_mlp(enc)
 
     # ------------------------------------------------------------------ #
@@ -290,10 +301,19 @@ class RadianceField(nn.Module):
         fwd_time = jnp.clip(normed_timestamps + self.time_diff * noise_t, 0.0, 1.0)
         bwd_time = jnp.clip(normed_timestamps - self.time_diff * noise_t, 0.0, 1.0)
 
-        fwd_feats, fwd_enc = self.forward_dynamic_hash(fwd_pos, fwd_time)
-        bwd_feats, bwd_enc = self.forward_dynamic_hash(bwd_pos, bwd_time)
-        fwd_pred_flow = self.forward_flow_hash(fwd_pos, fwd_time)
-        bwd_pred_flow = self.forward_flow_hash(bwd_pos, bwd_time)
+        # warped positions depend on the flow field: position grads needed
+        fwd_feats, fwd_enc = self.forward_dynamic_hash(
+            fwd_pos, fwd_time, needs_pos_grad=True
+        )
+        bwd_feats, bwd_enc = self.forward_dynamic_hash(
+            bwd_pos, bwd_time, needs_pos_grad=True
+        )
+        fwd_pred_flow = self.forward_flow_hash(
+            fwd_pos, fwd_time, needs_pos_grad=True
+        )
+        bwd_pred_flow = self.forward_flow_hash(
+            bwd_pos, bwd_time, needs_pos_grad=True
+        )
 
         aggregated = (dynamic_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
         return {

@@ -25,6 +25,7 @@ this interface.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import cached_property, partial
 from typing import Tuple
@@ -36,6 +37,13 @@ import numpy as np
 # Spatial-hash primes from Instant-NGP (Teschner et al. hashing; prime_0 = 1
 # so that the first dim is identity, as in tiny-cuda-nn).
 _PRIMES = (1, 2654435761, 805459861, 3674653429)
+
+
+def _GATHER_MODE() -> str:
+    """Gather formulation: "1d" (per-feature, no padded temps) or "2d"
+    (single take per level; faster when memory allows).  Env-switchable for
+    benchmarking; "1d" is the safe default."""
+    return os.environ.get("EMERNERF_GATHER", "1d")
 
 
 @dataclass(frozen=True)
@@ -68,9 +76,14 @@ class HashGridSpec:
 
     @property
     def table_shape(self) -> Tuple[int, int]:
+        """Feature-major (F, L*T): the minor dimension is the huge
+        table axis, so gathers/scatters tile densely on TPU.  A
+        features-minor (L*T, F) layout gets padded F: 4 -> 128 lanes by the
+        TPU tiling — 32x wasted HBM and a catastrophically slow gather
+        (measured 54 ms vs 105 s for one level's gathers on v5e)."""
         return (
-            self.n_levels * self.table_entries_per_level,
             self.n_features_per_level,
+            self.n_levels * self.table_entries_per_level,
         )
 
     @property
@@ -195,154 +208,259 @@ def hashgrid_encode_ref(
     table: jnp.ndarray, positions: jnp.ndarray, spec: HashGridSpec
 ) -> jnp.ndarray:
     """Reference implementation relying on XLA autodiff (gather/scatter).
-    Used by tests as the oracle for the custom-VJP version below."""
+    Used by tests as the oracle for the custom-VJP version below.
+    table: feature-major (F, L*T)."""
     d = spec.n_input_dims
     batch_shape = positions.shape[:-1]
     x = positions.reshape(-1, d)
+    n = x.shape[0]
     rows, frac, offsets = _rows_frac(x, spec)
-    w = _interp_weights(frac, offsets)
-    feats = jnp.take(table, rows, axis=0)  # (N, L, C, F)
-    out = (feats * w[..., None].astype(table.dtype)).sum(axis=2)  # (N, L, F)
+    w = _interp_weights(frac, offsets)  # (N, L, C)
+    feats = jnp.take(
+        table, rows.reshape(-1), axis=1, mode="clip"
+    ).reshape(spec.n_features_per_level, *rows.shape)  # (F, N, L, C)
+    out = (feats * w[None].astype(table.dtype)).sum(axis=-1)  # (F, N, L)
+    out = jnp.moveaxis(out, 0, -1)  # (N, L, F)
     return out.reshape(*batch_shape, spec.n_output_dims)
 
 
 def _level_constants(spec: HashGridSpec):
-    """Per-level constant arrays consumed by the level scan."""
+    """Per-level constants (numpy, so XLA folds them at trace time)."""
     d = spec.n_input_dims
-    scales = jnp.asarray(spec.level_scales, dtype=jnp.float32)  # (L,)
-    strides = jnp.asarray(
-        np.stack(
-            [
-                np.asarray(
-                    [(int(r) ** i) & 0xFFFFFFFF for i in range(d)],
-                    dtype=np.uint32,
-                )
-                for r in spec.level_resolutions
-            ]
-        )
+    scales = np.asarray(spec.level_scales, dtype=np.float32)  # (L,)
+    strides = np.stack(
+        [
+            np.asarray(
+                [(int(r) ** i) & 0xFFFFFFFF for i in range(d)],
+                dtype=np.uint32,
+            )
+            for r in spec.level_resolutions
+        ]
     )  # (L, D)
-    uses_hash = jnp.asarray(spec.level_uses_hash)  # (L,)
+    uses_hash = np.asarray(spec.level_uses_hash)  # (L,)
     return scales, strides, uses_hash
 
 
-def _level_rows_frac(x, scale, stride, uses_hash, spec: HashGridSpec):
-    """Corner rows + interpolation fractions for ONE level.
-    x (N, D); scale scalar; stride (D,) uint32; uses_hash scalar bool.
-    Returns rows (N, C) int32 local to the level's table slice, frac (N, D)."""
+def _level_rows_frac_t(xt, scale, stride, uses_hash, spec: HashGridSpec):
+    """Corner rows + interpolation fractions for ONE level, in N-minor
+    (transposed) layout: every intermediate keeps the big point axis as the
+    minor dimension.  TPU tiles the two minor dims to (8, 128); any array
+    with a tiny minor dim (3, 4, 8...) is padded up to 128 lanes — a 32x
+    memory/bandwidth blowup measured as multi-GB HLO temps.
+
+    xt: (D, N).  Returns rows (C, N) int32 local to the level's slice,
+    frac (D, N), offsets (C, D) numpy."""
     d = spec.n_input_dims
     t_mask = jnp.uint32(spec.table_entries_per_level - 1)
-    pos = x.astype(jnp.float32) * scale + 0.5
+    pos = xt.astype(jnp.float32) * scale + 0.5  # (D, N)
     grid = jnp.floor(pos)
     frac = pos - grid
-    offsets = jnp.asarray(_corner_offsets(d))  # (C, D)
-    corners = grid.astype(jnp.int32)[:, None, :] + offsets[None, :, :]  # (N,C,D)
-    cu = corners.astype(jnp.uint32)
+    grid_u = grid.astype(jnp.int32).astype(jnp.uint32)  # (D, N)
+    offsets = _corner_offsets(d)  # (C, D) numpy
 
-    hashed = cu[..., 0] * jnp.uint32(_PRIMES[0])
-    for i in range(1, d):
-        hashed = hashed ^ (cu[..., i] * jnp.uint32(_PRIMES[i]))
-    linear = (cu * stride[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
-    rows = (jnp.where(uses_hash, hashed, linear) & t_mask).astype(jnp.int32)
-    return rows, frac, offsets
+    c = 1 << d
+    rows = []
+    for ci in range(c):  # unrolled over the 2^D corners
+        if uses_hash:
+            r = (grid_u[0] + np.uint32(offsets[ci, 0])) * jnp.uint32(_PRIMES[0])
+            for i in range(1, d):
+                r = r ^ (
+                    (grid_u[i] + np.uint32(offsets[ci, i]))
+                    * jnp.uint32(_PRIMES[i])
+                )
+        else:
+            r = (grid_u[0] + np.uint32(offsets[ci, 0])) * jnp.uint32(
+                int(stride[0])
+            )
+            for i in range(1, d):
+                r = r + (grid_u[i] + np.uint32(offsets[ci, i])) * jnp.uint32(
+                    int(stride[i])
+                )
+        rows.append(r & t_mask)
+    return jnp.stack(rows).astype(jnp.int32), frac, offsets
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _level_weights_t(frac, offsets):
+    """Interpolation weights (C, N) from frac (D, N); per-corner unrolled so
+    no (C, D, N) intermediate is materialized."""
+    c, d = offsets.shape
+    ws = []
+    for ci in range(c):
+        w = None
+        for i in range(d):
+            term = frac[i] if offsets[ci, i] == 1 else 1.0 - frac[i]
+            w = term if w is None else w * term
+        ws.append(w)
+    return jnp.stack(ws)  # (C, N)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hashgrid_encode(
-    table: jnp.ndarray, positions: jnp.ndarray, spec: HashGridSpec
+    table: jnp.ndarray,
+    positions: jnp.ndarray,
+    spec: HashGridSpec,
+    needs_pos_grad: bool = True,
 ) -> jnp.ndarray:
     """Encode positions with a multi-resolution hash grid.
 
     Args:
-        table: (L*T, F) parameter table.
+        table: feature-major (F, L*T) parameter table.
         positions: (..., D) coordinates, expected in [0, 1] (the caller
             contracts/normalizes and zeroes out-of-box points).
     Returns:
         (..., L*F) encoded features, in the table's dtype.
 
-    TPU memory design: both directions run a ``lax.scan`` over levels so the
-    transient gather buffers are (N, 2^D, F) per level instead of
-    (N, L, 2^D, F) for all levels at once, and the custom VJP saves only
-    ``(table, positions)``, recomputing indices/weights in the backward.
-    Plain autodiff of the batched version holds rows + weights + gathered
-    features alive until the backward — gigabytes per field query at the
-    reference workload (8192 rays x 64 samples x up to 7 hash queries per
-    point).  This is the tcnn fused-kernel equivalent expressed in XLA.
+    TPU design notes (all measured on v5e):
+      * the table is FEATURE-MAJOR and gathers run along the minor (lane)
+        axis: a features-minor gather output (N*C, 4) is tiled T(8,128) on
+        TPU, padding 4 -> 128 lanes — 32x wasted HBM and a gather that is
+        orders of magnitude slower (54 ms vs 105 s per level batch);
+      * levels are processed in an UNROLLED python loop with STATIC table
+        slices — a ``lax.scan`` with ``dynamic_slice`` forces XLA's slow
+        gather path (70x slower forward for the 2^20-entry static grid);
+      * per-level transients are (F, N, 2^D) — never all levels at once;
+      * the custom VJP saves only ``(table, positions)`` and recomputes
+        indices/weights in the backward, the tcnn-fused-kernel equivalent
+        (default autodiff residuals were >16 GB HBM at the reference
+        workload of 8192 rays x 64 samples x 7 hash queries per point);
+      * position gradients (needed only for flow-warped queries) are
+        computed only when ``needs_pos_grad``.
     """
     d = spec.n_input_dims
+    f = spec.n_features_per_level
     t = spec.table_entries_per_level
     batch_shape = positions.shape[:-1]
-    x = positions.reshape(-1, d)
-    n = x.shape[0]
+    xt = positions.reshape(-1, d).T  # (D, N): N-minor from here on
+    n = xt.shape[1]
     scales, strides, uses_hash = _level_constants(spec)
 
-    def body(carry, level_args):
-        lvl, scale, stride, uh = level_args
-        rows, frac, offsets = _level_rows_frac(x, scale, stride, uh, spec)
-        w = jnp.where(
-            offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
-        ).prod(axis=-1)  # (N, C)
-        level_table = jax.lax.dynamic_slice_in_dim(table, lvl * t, t, axis=0)
-        feats = jnp.take(level_table, rows, axis=0)  # (N, C, F)
-        out_l = (feats * w[..., None].astype(table.dtype)).sum(axis=1)
-        return carry, out_l
-
-    _, ys = jax.lax.scan(
-        body, None,
-        (jnp.arange(spec.n_levels, dtype=jnp.int32), scales, strides, uses_hash),
-    )  # ys: (L, N, F)
-    out = jnp.moveaxis(ys, 0, 1).reshape(n, spec.n_output_dims)
+    outs = []
+    for lvl in range(spec.n_levels):
+        rows, frac, offsets = _level_rows_frac_t(
+            xt, scales[lvl], strides[lvl], uses_hash[lvl], spec
+        )  # rows (C, N)
+        w = _level_weights_t(frac, offsets)  # (C, N)
+        c = offsets.shape[0]
+        flat_rows = rows.reshape(-1)  # (C*N,)
+        w_flat = w.reshape(-1).astype(table.dtype)
+        if _GATHER_MODE() == "1d":
+            # per-feature 1D gathers: no padded temps (a 2D (F, T)-operand
+            # gather output materializes as [C*N, F] minor-F, padded
+            # 4 -> 128 lanes: 4 GB temps at the reference workload)
+            outs.append(
+                jnp.stack(
+                    [
+                        (
+                            jnp.take(
+                                table[fi, lvl * t : (lvl + 1) * t], flat_rows,
+                                mode="clip",
+                            )
+                            * w_flat
+                        ).reshape(c, n).sum(0)
+                        for fi in range(f)
+                    ]
+                )
+            )  # (F, N)
+        else:
+            feats2d = jnp.take(
+                table[:, lvl * t : (lvl + 1) * t], flat_rows, axis=1,
+                mode="clip",
+            )  # (F, C*N)
+            outs.append(
+                jnp.stack(
+                    [
+                        (feats2d[fi] * w_flat).reshape(c, n).sum(0)
+                        for fi in range(f)
+                    ]
+                )
+            )
+    # (L, F, N) -> (N, L, F) -> (N, L*F)
+    out = jnp.stack(outs, axis=0).transpose(2, 0, 1).reshape(n, -1)
     return out.reshape(*batch_shape, spec.n_output_dims)
 
 
-def _hashgrid_fwd(table, positions, spec):
-    return hashgrid_encode(table, positions, spec), (table, positions)
+def _hashgrid_fwd(table, positions, spec, needs_pos_grad):
+    return (
+        hashgrid_encode(table, positions, spec, needs_pos_grad),
+        (table, positions),
+    )
 
 
-def _hashgrid_bwd(spec, residuals, g):
+def _hashgrid_bwd(spec, needs_pos_grad, residuals, g):
     table, positions = residuals
     d = spec.n_input_dims
     f = spec.n_features_per_level
     t = spec.table_entries_per_level
     batch_shape = positions.shape[:-1]
-    x = positions.reshape(-1, d)
-    n = x.shape[0]
-    gl = g.reshape(n, spec.n_levels, f).astype(jnp.float32)  # (N, L, F)
+    xt = positions.reshape(-1, d).T  # (D, N)
+    n = xt.shape[1]
+    # cotangent in feature-major layout: (N, L*F) -> (L, F, N)
+    gl = g.reshape(n, spec.n_levels, f).astype(jnp.float32).transpose(1, 2, 0)
     scales, strides, uses_hash = _level_constants(spec)
 
-    def body(d_pos, level_args):
-        lvl, scale, stride, uh, g_l = level_args  # g_l: (N, F)
-        rows, frac, offsets = _level_rows_frac(x, scale, stride, uh, spec)
-        terms = jnp.where(
-            offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
-        )  # (N, C, D)
-        w = terms.prod(axis=-1)  # (N, C)
+    d_pos_t = jnp.zeros((d, n), jnp.float32)
+    d_tables = []
+    for lvl in range(spec.n_levels):
+        g_l = gl[lvl]  # (F, N)
+        rows, frac, offsets = _level_rows_frac_t(
+            xt, scales[lvl], strides[lvl], uses_hash[lvl], spec
+        )  # rows (C, N), frac (D, N)
+        w = _level_weights_t(frac, offsets)  # (C, N)
 
-        # dL/dtable for this level: scatter-add g * w at the corner rows
-        updates = (g_l[:, None, :] * w[..., None]).reshape(-1, f)
-        d_table_l = (
-            jnp.zeros((t, f), jnp.float32).at[rows.reshape(-1)].add(updates)
-        )
+        # dL/dtable: scatter-add g * w at the corner rows.  Unrolled per
+        # feature: 1D scatters avoid the (C*N, F)-shaped scatter temps XLA
+        # otherwise materializes F-minor (32x padded).
+        flat_rows = rows.reshape(-1)  # (C*N,)
+        c = offsets.shape[0]
+        w_flat = w.reshape(-1)  # (C*N,)
+        d_table_l = []
+        for fi in range(f):
+            upd = w_flat * jnp.tile(g_l[fi], c)  # (C*N,)
+            d_table_l.append(jnp.zeros((t,), jnp.float32).at[flat_rows].add(upd))
+        d_tables.append(jnp.stack(d_table_l))  # (F, T)
 
-        # dL/dpositions through the weights:
-        # dw_c/dfrac_d = (+/-) prod_{d' != d} terms
-        level_table = jax.lax.dynamic_slice_in_dim(table, lvl * t, t, axis=0)
-        feats = jnp.take(level_table, rows, axis=0).astype(jnp.float32)
-        gdotf = (feats * g_l[:, None, :]).sum(-1)  # (N, C)
-        sign = jnp.where(offsets == 1, 1.0, -1.0)[None, :, :]
-        dw = sign * _prod_excl(terms)  # (N, C, D)
-        d_pos = d_pos + ((gdotf[..., None] * dw).sum(axis=1) * scale)
-        return d_pos, d_table_l
+        if needs_pos_grad:
+            # dL/dpositions through the weights:
+            # dw_c/dfrac_i = (+/-) prod_{i' != i} term_i'
+            # gdotf computed per feature on 2D (C*N,) buffers
+            gdotf = jnp.zeros_like(w_flat)
+            if _GATHER_MODE() == "1d":
+                for fi in range(f):
+                    feats_fi = jnp.take(
+                        table[fi, lvl * t : (lvl + 1) * t], flat_rows,
+                        mode="clip",
+                    ).astype(jnp.float32)
+                    gdotf = gdotf + feats_fi * jnp.tile(g_l[fi], c)
+            else:
+                feats2d = jnp.take(
+                    table[:, lvl * t : (lvl + 1) * t], flat_rows, axis=1,
+                    mode="clip",
+                ).astype(jnp.float32)
+                for fi in range(f):
+                    gdotf = gdotf + feats2d[fi] * jnp.tile(g_l[fi], c)
+            gdotf = gdotf.reshape(c, n)  # (C, N)
+            for i in range(d):  # unrolled: no (C, D, N) intermediate
+                acc = None
+                for ci in range(c):
+                    dw = None  # prod over dims != i, signed by bit i
+                    for i2 in range(d):
+                        if i2 == i:
+                            continue
+                        term = (
+                            frac[i2] if offsets[ci, i2] == 1 else 1.0 - frac[i2]
+                        )
+                        dw = term if dw is None else dw * term
+                    if dw is None:
+                        dw = jnp.ones_like(frac[i])
+                    if offsets[ci, i] == 0:
+                        dw = -dw
+                    contrib = gdotf[ci] * dw
+                    acc = contrib if acc is None else acc + contrib
+                d_pos_t = d_pos_t.at[i].add(acc * scales[lvl])
 
-    d_pos, d_tables = jax.lax.scan(
-        body,
-        jnp.zeros((n, d), jnp.float32),
-        (
-            jnp.arange(spec.n_levels, dtype=jnp.int32),
-            scales, strides, uses_hash, jnp.moveaxis(gl, 0, 1),
-        ),
-    )
-    d_table = d_tables.reshape(spec.table_shape).astype(table.dtype)
-    return d_table, d_pos.reshape(*batch_shape, d).astype(positions.dtype)
+    d_table = jnp.concatenate(d_tables, axis=1).astype(table.dtype)
+    d_pos = d_pos_t.T.reshape(*batch_shape, d).astype(positions.dtype)
+    return d_table, d_pos
 
 
 def _prod_excl(terms):

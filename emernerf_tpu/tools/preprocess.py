@@ -1,0 +1,323 @@
+"""Waymo Open Dataset preprocessing: TFRecord -> per-scene directory.
+
+Offline CPU tool — counterpart of /root/reference/datasets/waymo_preprocess.py
+(+ preprocess.py driver): converts raw Waymo scene-flow TFRecords into the
+layout the training loader reads (emernerf_tpu/data/waymo.py docstring).
+
+Per frame it writes: camera jpgs, per-camera intrinsics/extrinsics (once),
+4x4 ego pose txts, an Nx14 float32 lidar bin (origin, point, flow,
+flow_class, ground, intensity, elongation, laser_id — the reference's
+column layout, waymo_preprocess.py:630-699), and dynamic-object masks from
+3D boxes moving >1 m/s projected into the cameras
+(waymo_preprocess.py:721-818).  Range images are decoded to point clouds in
+numpy, including the per-pixel pose compensation for rolling lidar frames
+(the reference's compute_range_image_cartesian,
+waymo_preprocess.py:96-203); a simple pinhole projection replaces the
+reference's TF `py_camera_model_ops.world_to_image` (global-shutter
+approximation — documented divergence).
+
+Requires ``tensorflow`` and ``waymo_open_dataset`` to parse TFRecords; both
+are data-prep-environment dependencies, not TPU-image ones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from multiprocessing import Pool
+
+import numpy as np
+
+from emernerf_tpu.data.utils import get_ground_label
+
+
+def _range_image_to_points(range_image, extrinsic, inclination,
+                           pixel_pose=None, frame_pose=None):
+    """Polar range image -> cartesian points in vehicle (or world) frame.
+
+    range_image: (H, W) ranges; extrinsic: (4,4) lidar->vehicle;
+    inclination: (H,) beam inclinations (top row first);
+    pixel_pose: optional (H, W, 4, 4) per-pixel vehicle->world poses
+    (Waymo's rolling-capture compensation); frame_pose: (4,4).
+    """
+    h, w = range_image.shape
+    # azimuth spans [pi, -pi) across the width, offset by the extrinsic yaw
+    az_correction = np.arctan2(extrinsic[1, 0], extrinsic[0, 0])
+    azimuth = np.linspace(np.pi, -np.pi, w, endpoint=False) - az_correction
+    az = np.broadcast_to(azimuth[None, :], (h, w))
+    incl = np.broadcast_to(inclination[:, None], (h, w))
+
+    x = np.cos(az) * np.cos(incl) * range_image
+    y = np.sin(az) * np.cos(incl) * range_image
+    z = np.sin(incl) * range_image
+    pts = np.stack([x, y, z], axis=-1)  # sensor frame
+
+    # sensor -> vehicle
+    pts = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+
+    if pixel_pose is not None and frame_pose is not None:
+        # vehicle(at pixel time) -> world -> vehicle(at frame time)
+        world = (
+            np.einsum("hwij,hwj->hwi", pixel_pose[..., :3, :3], pts)
+            + pixel_pose[..., :3, 3]
+        )
+        inv = np.linalg.inv(frame_pose)
+        pts = world @ inv[:3, :3].T + inv[:3, 3]
+    return pts
+
+
+def _project_box_to_mask(mask, box, cam_intrinsic, cam_to_vehicle, img_hw):
+    """Rasterize a 3D box's image-plane bounding rect into a binary mask
+    (pinhole projection; the reference uses the TF camera model)."""
+    cx, cy, cz, length, width, height, heading = box
+    c, s = np.cos(heading), np.sin(heading)
+    corners = np.array(
+        [
+            [sx * length / 2, sy * width / 2, sz * height / 2]
+            for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+        ]
+    )
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    corners = corners @ rot.T + [cx, cy, cz]  # vehicle frame
+
+    v2c = np.linalg.inv(cam_to_vehicle)
+    cam_pts = corners @ v2c[:3, :3].T + v2c[:3, 3]
+    # waymo camera frame: x forward, y left, z up -> opencv
+    xc, yc, zc = cam_pts[:, 1] * -1, cam_pts[:, 2] * -1, cam_pts[:, 0]
+    valid = zc > 0.1
+    if valid.sum() < 2:
+        return
+    fx, fy, cu, cv = cam_intrinsic[:4]
+    u = fx * xc[valid] / zc[valid] + cu
+    v = fy * yc[valid] / zc[valid] + cv
+    h, w = img_hw
+    u0, u1 = int(np.clip(u.min(), 0, w - 1)), int(np.clip(u.max(), 0, w - 1))
+    v0, v1 = int(np.clip(v.min(), 0, h - 1)), int(np.clip(v.max(), 0, h - 1))
+    mask[v0 : v1 + 1, u0 : u1 + 1] = 255
+
+
+class WaymoProcessor:
+    """TFRecord -> preprocessed scene directories
+    (waymo_preprocess.py:443-854)."""
+
+    def __init__(self, load_dir: str, save_dir: str, scene_list,
+                 scene_names, workers: int = 8):
+        self.load_dir = load_dir
+        self.save_dir = save_dir
+        self.scene_list = scene_list
+        self.scene_names = scene_names
+        self.workers = workers
+
+    def convert(self):
+        if self.workers <= 1:
+            for i in self.scene_list:
+                self.convert_one(i)
+        else:
+            with Pool(self.workers) as pool:
+                pool.map(self.convert_one, self.scene_list)
+
+    # ------------------------------------------------------------------ #
+    def convert_one(self, scene_idx: int):
+        try:
+            import tensorflow as tf
+            from waymo_open_dataset import dataset_pb2
+            from waymo_open_dataset.utils import frame_utils
+        except ImportError as e:
+            raise ImportError(
+                "Preprocessing requires `tensorflow` and "
+                "`waymo-open-dataset-tf-*`; run this tool in a data-prep "
+                "environment, not the TPU training image."
+            ) from e
+
+        tfrecord = os.path.join(
+            self.load_dir, f"{self.scene_names[scene_idx]}.tfrecord"
+        )
+        out = os.path.join(self.save_dir, f"{scene_idx:03d}")
+        for sub in ("images", "intrinsics", "extrinsics", "ego_pose",
+                    "lidar", "dynamic_masks"):
+            os.makedirs(os.path.join(out, sub), exist_ok=True)
+
+        dataset = tf.data.TFRecordDataset(tfrecord, compression_type="")
+        for t, data in enumerate(dataset):
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(bytearray(data.numpy()))
+            self._save_images(frame, out, t)
+            if t == 0:
+                self._save_calib(frame, out)
+            self._save_pose(frame, out, t)
+            self._save_lidar(frame, out, t, frame_utils)
+            self._save_dynamic_masks(frame, out, t)
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _save_images(frame, out, t):
+        for img in frame.images:
+            cam = img.name - 1  # proto enums are 1-based
+            with open(os.path.join(out, "images", f"{t:03d}_{cam}.jpg"), "wb") as f:
+                f.write(img.image)
+
+    @staticmethod
+    def _save_calib(frame, out):
+        for cc in frame.context.camera_calibrations:
+            cam = cc.name - 1
+            np.savetxt(
+                os.path.join(out, "intrinsics", f"{cam}.txt"),
+                np.asarray(cc.intrinsic),
+            )
+            np.savetxt(
+                os.path.join(out, "extrinsics", f"{cam}.txt"),
+                np.asarray(cc.extrinsic.transform).reshape(4, 4),
+            )
+
+    @staticmethod
+    def _save_pose(frame, out, t):
+        np.savetxt(
+            os.path.join(out, "ego_pose", f"{t:03d}.txt"),
+            np.asarray(frame.pose.transform).reshape(4, 4),
+        )
+
+    def _save_lidar(self, frame, out, t, frame_utils):
+        """Decode range images (+ flow) -> world-frame Nx14 bin."""
+        (range_images, camera_projections, seg_labels,
+         range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(
+            frame
+        )
+        frame_pose = np.asarray(frame.pose.transform).reshape(4, 4)
+
+        all_rows = []
+        for calib in frame.context.laser_calibrations:
+            laser_id = calib.name - 1
+            if calib.name not in range_images:
+                continue
+            ri = range_images[calib.name][0]  # first return
+            ri_np = np.asarray(ri.data, np.float32).reshape(ri.shape.dims)
+            rng = ri_np[..., 0]
+            intensity = ri_np[..., 1]
+            elongation = ri_np[..., 2]
+
+            extrinsic = np.asarray(calib.extrinsic.transform).reshape(4, 4)
+            if len(calib.beam_inclinations) == 0:
+                incl = np.linspace(
+                    calib.beam_inclination_min, calib.beam_inclination_max,
+                    rng.shape[0],
+                )[::-1]
+            else:
+                incl = np.asarray(calib.beam_inclinations)[::-1]
+
+            pixel_pose = None
+            if laser_id == 0 and range_image_top_pose is not None:
+                pp = np.asarray(
+                    range_image_top_pose.data, np.float32
+                ).reshape(range_image_top_pose.shape.dims)
+                # rows: roll, pitch, yaw, x, y, z -> 4x4 per pixel
+                pixel_pose = _pose6d_to_mat(pp)
+
+            pts = _range_image_to_points(
+                np.maximum(rng, 0.0), extrinsic, incl,
+                pixel_pose=pixel_pose, frame_pose=frame_pose,
+            )
+            valid = rng > 0
+            origin = np.broadcast_to(extrinsic[:3, 3], pts.shape)
+
+            # scene flows, when present in the record (second channel set)
+            flow = np.zeros_like(pts)
+            flow_class = -np.ones(rng.shape, np.float32)
+            if len(range_images[calib.name]) > 2:
+                fi = range_images[calib.name][2]
+                fi_np = np.asarray(fi.data, np.float32).reshape(fi.shape.dims)
+                flow = fi_np[..., :3]
+                flow_class = fi_np[..., 3]
+
+            rows = np.concatenate(
+                [
+                    origin[valid],
+                    pts[valid],
+                    flow[valid],
+                    flow_class[valid][:, None],
+                    np.zeros((valid.sum(), 1), np.float32),  # ground, below
+                    intensity[valid][:, None],
+                    elongation[valid][:, None],
+                    np.full((valid.sum(), 1), laser_id, np.float32),
+                ],
+                axis=-1,
+            )
+            all_rows.append(rows.astype(np.float32))
+
+        data = np.concatenate(all_rows, axis=0)
+        # ground labels via plane fit on the vehicle-frame points
+        data[:, 10] = get_ground_label(data[:, 3:6]).astype(np.float32)
+        data.tofile(os.path.join(out, "lidar", f"{t:03d}.bin"))
+
+    @staticmethod
+    def _save_dynamic_masks(frame, out, t):
+        from PIL import Image
+
+        # boxes moving faster than 1 m/s are dynamic
+        # (waymo_preprocess.py:721-818)
+        moving = [
+            (
+                [b.box.center_x, b.box.center_y, b.box.center_z,
+                 b.box.length, b.box.width, b.box.height, b.box.heading]
+            )
+            for b in frame.laser_labels
+            if np.hypot(b.metadata.speed_x, b.metadata.speed_y) > 1.0
+        ]
+        calibs = {c.name - 1: c for c in frame.context.camera_calibrations}
+        for img in frame.images:
+            cam = img.name - 1
+            cc = calibs[cam]
+            h, w = cc.height, cc.width
+            mask = np.zeros((h, w), np.uint8)
+            cam_to_vehicle = np.asarray(cc.extrinsic.transform).reshape(4, 4)
+            for box in moving:
+                _project_box_to_mask(
+                    mask, box, np.asarray(cc.intrinsic), cam_to_vehicle, (h, w)
+                )
+            Image.fromarray(mask).save(
+                os.path.join(out, "dynamic_masks", f"{t:03d}_{cam}.png")
+            )
+
+
+def _pose6d_to_mat(pp: np.ndarray) -> np.ndarray:
+    """(H, W, 6) [roll, pitch, yaw, x, y, z] -> (H, W, 4, 4)."""
+    roll, pitch, yaw = pp[..., 0], pp[..., 1], pp[..., 2]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    h, w = pp.shape[:2]
+    m = np.zeros((h, w, 4, 4), np.float32)
+    m[..., 0, 0] = cy * cp
+    m[..., 0, 1] = cy * sp * sr - sy * cr
+    m[..., 0, 2] = cy * sp * cr + sy * sr
+    m[..., 1, 0] = sy * cp
+    m[..., 1, 1] = sy * sp * sr + cy * cr
+    m[..., 1, 2] = sy * sp * cr - cy * sr
+    m[..., 2, 0] = -sp
+    m[..., 2, 1] = cp * sr
+    m[..., 2, 2] = cp * cr
+    m[..., :3, 3] = pp[..., 3:6]
+    m[..., 3, 3] = 1.0
+    return m
+
+
+def main():
+    p = argparse.ArgumentParser("Preprocess Waymo TFRecords")
+    p.add_argument("--data_root", default="data/waymo/raw")
+    p.add_argument("--target_dir", default="data/waymo/processed/training")
+    p.add_argument("--scene_ids", type=int, nargs="+", required=True)
+    p.add_argument("--scene_list_file", default="data/waymo_train_list.txt")
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    from emernerf_tpu.tools.download_waymo import read_scene_list
+
+    names = read_scene_list(args.scene_list_file)
+    WaymoProcessor(
+        args.data_root, args.target_dir, args.scene_ids, names,
+        workers=args.workers,
+    ).convert()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ schedule (nerfacc_prop_net.py:280-296); jit caches the few variants.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -153,7 +154,8 @@ def build_train_step(
         out, caches, s_vals = render_ray_batch(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
-            train=True, rngs={"aggregation": agg_key}, remat=True,
+            train=True, rngs={"aggregation": agg_key},
+            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
             **render_kw,
         )
         extras = out["extras"]
@@ -213,7 +215,8 @@ def build_train_step(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
             is_lidar=True, train=True, rngs={"aggregation": agg_key},
-            remat=True, **render_kw,
+            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            **render_kw,
         )
         extras = out["extras"]
         losses = {

@@ -43,9 +43,21 @@ logger = logging.getLogger("emernerf_tpu")
 
 
 class Trainer:
-    def __init__(self, cfg: ConfigNode, log_dir: str):
+    def __init__(self, cfg: ConfigNode, log_dir: str, enable_wandb: bool = False):
         self.cfg = cfg
         self.log_dir = log_dir
+        self.wandb = None
+        if enable_wandb:
+            try:
+                import wandb
+
+                wandb.init(
+                    project=cfg.get("project", "emernerf_tpu"),
+                    dir=log_dir, config=cfg.to_dict(),
+                )
+                self.wandb = wandb
+            except Exception as e:  # wandb missing or offline
+                logger.warning("wandb disabled: %s", e)
 
         logger.info("Building dataset...")
         self.dataset = build_dataset_from_cfg(cfg)
@@ -150,9 +162,10 @@ class Trainer:
             )
 
             if step % cfg.logging.print_freq == 0 or step == num_iters:
-                metric_logger.update(
-                    **{k: float(v) for k, v in m.items() if np.ndim(v) == 0}
-                )
+                scalars = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
+                metric_logger.update(**scalars)
+                if self.wandb is not None:
+                    self.wandb.log(scalars, step=int(step))
 
             if (
                 step > 0
@@ -195,6 +208,14 @@ class Trainer:
         gtv = jnp.asarray(np.stack(gts))
         dyn = jnp.asarray(np.stack(dyn_ops)) if dyn_ops else None
         self.scene = update_pixel_error_map(self.scene, pred, gtv, dyn)
+        # dump the importance maps for inspection (train_emernerf.py:879-930)
+        buffer_dir = os.path.join(self.log_dir, "buffer_maps")
+        os.makedirs(buffer_dir, exist_ok=True)
+        maps = np.asarray(self.scene.pixel_error_map)
+        np.save(
+            os.path.join(buffer_dir, f"buffer_{int(self.state.step):05d}.npy"),
+            maps.astype(np.float16),
+        )
 
     # ---------------------------------------------------------------- #
     def evaluate(self, step: Optional[int] = None) -> Dict[str, float]:

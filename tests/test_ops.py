@@ -96,8 +96,9 @@ def test_sinusoidal_dims_and_values():
 # hash grid
 # --------------------------------------------------------------------------
 def _hashgrid_oracle(table, x, spec):
-    """Independent numpy implementation of Instant-NGP hash encoding."""
-    table = np.asarray(table)
+    """Independent numpy implementation of Instant-NGP hash encoding.
+    Accepts the framework's feature-major (F, L*T) table."""
+    table = np.asarray(table).T  # -> (L*T, F) for the oracle's indexing
     x = np.asarray(x, np.float64)
     n, d = x.shape
     t = spec.table_entries_per_level
@@ -181,7 +182,7 @@ def test_hashgrid_gradients_flow_to_table():
     # total interpolation weight per (point, level) is 1, so the gradient of
     # the sum must total n_points * n_levels per feature channel
     np.testing.assert_allclose(
-        np.asarray(g).sum(axis=0), [32.0, 32.0], rtol=1e-5
+        np.asarray(g).sum(axis=1), [32.0, 32.0], rtol=1e-5
     )
 
 

@@ -106,7 +106,7 @@ def main(args):
 
     from emernerf_tpu.train.trainer import Trainer  # deferred: heavy imports
 
-    trainer = Trainer(cfg, cfg.log_dir)
+    trainer = Trainer(cfg, cfg.log_dir, enable_wandb=args.enable_wandb)
 
     if args.render_data_video:
         from emernerf_tpu.eval.data_preview import render_data_video
@@ -115,6 +115,33 @@ def main(args):
             trainer.dataset, os.path.join(cfg.log_dir, "data.mp4"),
             fps=cfg.render.fps,
         )
+
+    if args.visualize_voxel or args.eval_only:
+        if args.visualize_voxel:
+            from emernerf_tpu.eval.points import PointQueryEngine
+            from emernerf_tpu.eval.voxel_vis import (
+                visualize_scene_flow,
+                visualize_voxels,
+            )
+
+            engine = PointQueryEngine(trainer.model)
+            times = (
+                list(trainer.dataset.unique_normalized_training_timestamps)
+                if trainer.model.has_dynamic
+                else None
+            )
+            visualize_voxels(
+                engine, trainer.state.params, trainer.dataset.aabb,
+                os.path.join(cfg.log_dir, "voxels"),
+                timesteps=times,
+                voxel_size=cfg.render.vis_voxel_size,
+                save_html=cfg.render.save_html or True,
+            )
+            if trainer.model.has_flow:
+                visualize_scene_flow(
+                    engine, trainer.state.params, trainer.dataset,
+                    os.path.join(cfg.log_dir, "scene_flow"),
+                )
 
     if args.eval_only:
         trainer.evaluate()
