@@ -40,10 +40,22 @@ _PRIMES = (1, 2654435761, 805459861, 3674653429)
 
 
 def _GATHER_MODE() -> str:
-    """Gather formulation: "1d" (per-feature, no padded temps) or "2d"
-    (single take per level; faster when memory allows).  Env-switchable for
-    benchmarking; "1d" is the safe default."""
-    return os.environ.get("EMERNERF_GATHER", "1d")
+    """Gather formulation: "2d" (single take per level, chunked along N
+    with serialization barriers to bound the lane-padded gather temps;
+    fastest measured) or "1d" (per-feature takes, no padded temps at all).
+    Env-switchable for benchmarking."""
+    return os.environ.get("EMERNERF_GATHER", "2d")
+
+
+# max elements per chunked 2D take: bounds the padded [chunk, 128] gather
+# temp to ~1 GB f32
+_CHUNK_ELEMS = 1 << 21
+
+
+def _n_chunks(n: int, c: int):
+    """Split the point axis so each chunk's c*nb stays under _CHUNK_ELEMS."""
+    nb = max(_CHUNK_ELEMS // c, 1)
+    return [(a, min(a + nb, n)) for a in range(0, n, nb)]
 
 
 @dataclass(frozen=True)
@@ -362,17 +374,28 @@ def hashgrid_encode(
                 )
             )  # (F, N)
         else:
-            feats2d = jnp.take(
-                table[:, lvl * t : (lvl + 1) * t], flat_rows, axis=1,
-                mode="clip",
-            )  # (F, C*N)
-            outs.append(
-                jnp.stack(
+            # single take per level is fastest, but its [C*N, F] gather
+            # output is lane-padded F -> 128; chunk along N and serialize
+            # with optimization_barrier so only one padded temp is live
+            level_table = table[:, lvl * t : (lvl + 1) * t]
+            parts = []
+            prev = None
+            for a, b in _n_chunks(n, c):
+                rows_ch = rows[:, a:b].reshape(-1)
+                if prev is not None:
+                    rows_ch = jax.lax.optimization_barrier((rows_ch, prev))[0]
+                feats_ch = jnp.take(level_table, rows_ch, axis=1, mode="clip")
+                w_ch = w[:, a:b].reshape(-1).astype(table.dtype)
+                part = jnp.stack(
                     [
-                        (feats2d[fi] * w_flat).reshape(c, n).sum(0)
+                        (feats_ch[fi] * w_ch).reshape(c, b - a).sum(0)
                         for fi in range(f)
                     ]
-                )
+                )  # (F, nb)
+                parts.append(part)
+                prev = part
+            outs.append(
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             )
     # (L, F, N) -> (N, L, F) -> (N, L*F)
     out = jnp.stack(outs, axis=0).transpose(2, 0, 1).reshape(n, -1)
@@ -432,12 +455,28 @@ def _hashgrid_bwd(spec, needs_pos_grad, residuals, g):
                     ).astype(jnp.float32)
                     gdotf = gdotf + feats_fi * jnp.tile(g_l[fi], c)
             else:
-                feats2d = jnp.take(
-                    table[:, lvl * t : (lvl + 1) * t], flat_rows, axis=1,
-                    mode="clip",
-                ).astype(jnp.float32)
-                for fi in range(f):
-                    gdotf = gdotf + feats2d[fi] * jnp.tile(g_l[fi], c)
+                level_table = table[:, lvl * t : (lvl + 1) * t]
+                gparts = []
+                prev = None
+                for a, b in _n_chunks(n, c):
+                    rows_ch = rows[:, a:b].reshape(-1)
+                    if prev is not None:
+                        rows_ch = jax.lax.optimization_barrier(
+                            (rows_ch, prev)
+                        )[0]
+                    feats_ch = jnp.take(
+                        level_table, rows_ch, axis=1, mode="clip"
+                    ).astype(jnp.float32)
+                    gp = jnp.zeros((c * (b - a),), jnp.float32)
+                    for fi in range(f):
+                        gp = gp + feats_ch[fi] * jnp.tile(g_l[fi, a:b], c)
+                    gparts.append(gp.reshape(c, b - a))
+                    prev = gparts[-1]
+                gdotf_2d = (
+                    gparts[0] if len(gparts) == 1
+                    else jnp.concatenate(gparts, axis=1)
+                )
+                gdotf = gdotf_2d.reshape(-1)
             gdotf = gdotf.reshape(c, n)  # (C, N)
             for i in range(d):  # unrolled: no (C, D, N) intermediate
                 acc = None

@@ -242,3 +242,32 @@ def test_hashgrid_custom_vjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-7)
         np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_r),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_hashgrid_gather_modes_agree(monkeypatch):
+    """The 1d and (chunked) 2d gather formulations are numerically
+    identical, including across chunk boundaries."""
+    import emernerf_tpu.ops.hashgrid as hg
+
+    spec = HashGridSpec(
+        n_input_dims=3, n_levels=3, base_resolution=4, max_resolution=32,
+        log2_hashmap_size=8, n_features_per_level=2,
+    )
+    table = init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (50, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(2), (50, spec.n_output_dims))
+
+    monkeypatch.setattr(hg, "_CHUNK_ELEMS", 64)  # force many chunks
+
+    results = {}
+    for mode in ("1d", "2d"):
+        monkeypatch.setenv("EMERNERF_GATHER", mode)
+        out = hg.hashgrid_encode(table, x, spec)
+        gt, gp = jax.grad(
+            lambda t_, p_: (hg.hashgrid_encode(t_, p_, spec) * cot).sum(),
+            argnums=(0, 1),
+        )(table, x)
+        results[mode] = (np.asarray(out), np.asarray(gt), np.asarray(gp))
+
+    for a, b in zip(results["1d"], results["2d"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
