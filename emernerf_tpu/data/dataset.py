@@ -231,6 +231,28 @@ class SceneDataset:
             gt["features"] = self.features[img_idx][np.ix_(fy, fx)]
         return rays, gt
 
+    def get_valid_lidar_mask(self, frame: int, points: np.ndarray) -> np.ndarray:
+        """Lidar->camera visibility: True where a world-space point projects
+        inside at least one of the frame's images with positive depth
+        (reference datasets/waymo.py:638-668)."""
+        h, w = self.image_hw
+        img_indices = np.nonzero(self.frame_idx == frame)[0]
+        valid = np.zeros(len(points), bool)
+        for img_idx in img_indices:
+            w2c = np.linalg.inv(
+                self.c2w[img_idx].astype(np.float64)
+            )
+            cam_pts = points @ w2c[:3, :3].T + w2c[:3, 3]
+            proj = cam_pts @ self.intrinsics[img_idx].astype(np.float64).T
+            depth = proj[:, 2]
+            uv = proj[:, :2] / (depth[:, None] + 1e-6)
+            valid |= (
+                (uv[:, 0] >= 0) & (uv[:, 0] < w)
+                & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+                & (depth > 0)
+            )
+        return valid
+
     def get_lidar_render_rays(self, frame: int):
         """All lidar rays of one frame, for depth/flow eval."""
         if self.lidar is None:

@@ -248,4 +248,10 @@ def load_waymo_dataset(cfg: ConfigNode) -> SceneDataset:
     )
     dataset.feat_pca = feat_pca
     dataset.data_path = data_path
+    # per-frame ego->world poses: Occ3D voxel centers are annotated in the
+    # ego/lidar frame and must be lifted to world (ref waymo.py:625-631)
+    dataset.ego_to_worlds = np.stack(ego_to_worlds)
+    dataset.occ_voxel_size = float(
+        data_cfg.get("occ_source", {}).get("voxel_size", 0.1)
+    )
     return dataset

@@ -70,6 +70,45 @@ def load_occ3d_frame(data_path: str, ego_to_world: np.ndarray, index: int,
     return world.astype(np.float32), labels, times
 
 
+def make_occ_fn(dataset) -> OccFn:
+    """Build an OccFn over a Waymo dataset's preprocessed Occ3D directory
+    (uses the per-frame ego->world poses attached by the loader)."""
+    voxel_size = getattr(dataset, "occ_voxel_size", 0.1)
+
+    def occ_fn(i: int):
+        return load_occ3d_frame(
+            dataset.data_path, dataset.ego_to_worlds[i], i,
+            dataset.num_frames, voxel_size=voxel_size,
+        )
+
+    return occ_fn
+
+
+def run_occ_eval(
+    dataset,
+    engine: PointQueryEngine,
+    params,
+    annotation_stride: int = 10,
+    density_threshold: float = 0.2,
+) -> Dict:
+    """Full few-shot occupancy evaluation over a scene: every
+    ``annotation_stride``-th frame annotates the centroids, the rest are
+    classified (reference train_emernerf.py:201-232)."""
+    occ_fn = make_occ_fn(dataset)
+    train_indices = np.arange(0, dataset.num_frames, annotation_stride)
+    test_indices = [
+        i for i in range(dataset.num_frames) if i not in set(train_indices)
+    ]
+    centroids, centroid_labels = collect_centroids(
+        train_indices, occ_fn, engine, params,
+        density_threshold=density_threshold,
+    )
+    return eval_few_shot_occ(
+        test_indices, occ_fn, engine, params, centroids, centroid_labels,
+        density_threshold=density_threshold,
+    )
+
+
 def collect_centroids(
     train_indices: Sequence[int],
     occ_fn: OccFn,

@@ -171,6 +171,13 @@ def visualize_scene_flow(
         points = (
             rays["origins"] + rays["viewdirs"] * rays["ranges"][:, None]
         )
+        # drop lidar returns invisible from every camera — the field is
+        # unsupervised there (reference visualization_tools.py:756-758)
+        vis = dataset.get_valid_lidar_mask(frame, points)
+        if vis.sum() == 0:
+            continue
+        points = points[vis]
+        rays = {k: v[vis] for k, v in rays.items()}
         pred = engine.query_flow(
             params, points.astype(np.float32),
             rays["normed_timestamps"].astype(np.float32),

@@ -25,11 +25,107 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import zlib
 from multiprocessing import Pool
 
 import numpy as np
 
 from emernerf_tpu.data.utils import get_ground_label
+
+
+# --------------------------------------------------------------------- #
+# Scene-flow range-image decoding.
+#
+# Waymo stores per-return scene flow in a SEPARATE compressed proto field
+# (`laser.ri_return{1,2}.range_image_flow_compressed`) that the standard
+# `parse_range_image_and_camera_projection` helper never touches — the
+# reference decodes it explicitly
+# (/root/reference/datasets/waymo_preprocess.py:255-301).  The payload is a
+# ZLIB-compressed `MatrixFloat` proto:
+#
+#   message MatrixFloat { repeated float data = 1 [packed]; MatrixShape shape = 2; }
+#   message MatrixShape { repeated int32 dims = 1 [packed]; }
+#
+# Decoded here with a ~40-line wire-format reader so flow extraction (and
+# its tests) need neither tensorflow nor waymo_open_dataset.
+# --------------------------------------------------------------------- #
+
+
+def _read_varint(buf: bytes, i: int):
+    result, shift = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _parse_matrix_shape(buf: bytes):
+    """MatrixShape: repeated int32 dims = 1."""
+    dims = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # packed
+            ln, i = _read_varint(buf, i)
+            end = i + ln
+            while i < end:
+                v, i = _read_varint(buf, i)
+                dims.append(v)
+        elif field == 1 and wire == 0:  # unpacked
+            v, i = _read_varint(buf, i)
+            dims.append(v)
+        else:
+            raise ValueError(f"unexpected MatrixShape field {field}/{wire}")
+    return dims
+
+
+def parse_matrix_float(buf: bytes):
+    """Serialized MatrixFloat -> (np.float32 data, dims list)."""
+    data = np.zeros(0, np.float32)
+    dims: list = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # packed floats
+            ln, i = _read_varint(buf, i)
+            data = np.frombuffer(buf[i : i + ln], dtype="<f4")
+            i += ln
+        elif field == 1 and wire == 5:  # single unpacked float
+            data = np.concatenate(
+                [data, np.frombuffer(buf[i : i + 4], dtype="<f4")]
+            )
+            i += 4
+        elif field == 2 and wire == 2:  # shape submessage
+            ln, i = _read_varint(buf, i)
+            dims = _parse_matrix_shape(buf[i : i + ln])
+            i += ln
+        else:
+            raise ValueError(f"unexpected MatrixFloat field {field}/{wire}")
+    return np.asarray(data, np.float32), dims
+
+
+def parse_flow_range_images(frame, ri_index: int = 0):
+    """Decode every laser's scene-flow range image from a Frame proto.
+
+    Returns {laser_name(1-based): (H, W, 4) float32 [vx, vy, vz, class]},
+    empty when the record carries no flow (i.e. it is not from the
+    scene-flow bucket).  Counterpart of the reference's
+    parse_range_image_flow_and_camera_projection
+    (/root/reference/datasets/waymo_preprocess.py:255-301)."""
+    flows = {}
+    for laser in frame.lasers:
+        ret = laser.ri_return1 if ri_index == 0 else laser.ri_return2
+        compressed = ret.range_image_flow_compressed
+        if len(compressed) == 0:
+            continue
+        data, dims = parse_matrix_float(zlib.decompress(compressed))
+        flows[laser.name] = data.reshape(dims)
+    return flows
 
 
 def _range_image_to_points(range_image, extrinsic, inclination,
@@ -102,12 +198,13 @@ class WaymoProcessor:
     (waymo_preprocess.py:443-854)."""
 
     def __init__(self, load_dir: str, save_dir: str, scene_list,
-                 scene_names, workers: int = 8):
+                 scene_names, workers: int = 8, require_flow: bool = True):
         self.load_dir = load_dir
         self.save_dir = save_dir
         self.scene_list = scene_list
         self.scene_names = scene_names
         self.workers = workers
+        self.require_flow = require_flow
 
     def convert(self):
         if self.workers <= 1:
@@ -183,6 +280,17 @@ class WaymoProcessor:
          range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(
             frame
         )
+        # scene flow lives in its own compressed field; see
+        # parse_flow_range_images.  Records outside the scene-flow bucket
+        # have none — refuse by default rather than silently writing zeros.
+        flow_images = parse_flow_range_images(frame)
+        if not flow_images and self.require_flow:
+            raise RuntimeError(
+                f"TFRecord frame {t} carries no range_image_flow_compressed "
+                "channels. Download scenes from the scene-flow bucket "
+                "(gs://waymo_open_dataset_scene_flow) or pass "
+                "--allow_no_flow to write zero flows."
+            )
         frame_pose = np.asarray(frame.pose.transform).reshape(4, 4)
 
         all_rows = []
@@ -220,12 +328,17 @@ class WaymoProcessor:
             valid = rng > 0
             origin = np.broadcast_to(extrinsic[:3, 3], pts.shape)
 
-            # scene flows, when present in the record (second channel set)
+            # scene flows: velocities (m/s) + class, -1 class = no label
             flow = np.zeros_like(pts)
             flow_class = -np.ones(rng.shape, np.float32)
-            if len(range_images[calib.name]) > 2:
-                fi = range_images[calib.name][2]
-                fi_np = np.asarray(fi.data, np.float32).reshape(fi.shape.dims)
+            if calib.name in flow_images:
+                fi_np = flow_images[calib.name]
+                if fi_np.shape[:2] != rng.shape:
+                    raise RuntimeError(
+                        f"flow range image shape {fi_np.shape} does not "
+                        f"match range image {rng.shape} for laser "
+                        f"{calib.name}"
+                    )
                 flow = fi_np[..., :3]
                 flow_class = fi_np[..., 3]
 
@@ -308,6 +421,11 @@ def main():
     p.add_argument("--scene_ids", type=int, nargs="+", required=True)
     p.add_argument("--scene_list_file", default="data/waymo_train_list.txt")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument(
+        "--allow_no_flow", action="store_true",
+        help="write zero flows for records without scene-flow channels "
+             "instead of failing",
+    )
     args = p.parse_args()
 
     from emernerf_tpu.tools.download_waymo import read_scene_list
@@ -315,7 +433,7 @@ def main():
     names = read_scene_list(args.scene_list_file)
     WaymoProcessor(
         args.data_root, args.target_dir, args.scene_ids, names,
-        workers=args.workers,
+        workers=args.workers, require_flow=not args.allow_no_flow,
     ).convert()
 
 

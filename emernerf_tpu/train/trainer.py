@@ -42,6 +42,23 @@ from emernerf_tpu.utils.logging import MetricLogger
 logger = logging.getLogger("emernerf_tpu")
 
 
+def raise_on_nonfinite(scalars: Dict[str, float], step: int) -> None:
+    """NaN tripwire (reference raises inside every loss when
+    optim.check_nan, /root/reference/loss/base.py:77-79).  The TPU
+    equivalent inspects already-fetched metric scalars: a NaN poisons the
+    params, so it is still visible at the next print step instead of
+    silently burning the rest of a 25k-iteration run."""
+    bad = [
+        k for k, v in scalars.items()
+        if ("loss" in k or k == "psnr") and not np.isfinite(v)
+    ]
+    if bad:
+        raise RuntimeError(
+            f"Non-finite loss detected at step {int(step)}: {bad} "
+            f"(optim.check_nan=True)"
+        )
+
+
 class Trainer:
     def __init__(self, cfg: ConfigNode, log_dir: str, enable_wandb: bool = False):
         self.cfg = cfg
@@ -141,8 +158,17 @@ class Trainer:
         rg_fn = proposal_requires_grad_schedule()
         error_map_buffered = False
 
+        check_nan = bool(cfg.optim.get("check_nan", False))
+        prof_start = int(cfg.logging.get("profiling_start_iter", -1))
+        prof_iters = int(cfg.logging.get("profiling_num_iters", 5))
+
         all_iters = np.arange(self.start_step, num_iters + 1)
         for step in metric_logger.log_every(all_iters, cfg.logging.print_freq):
+            if prof_start >= 0 and step == prof_start:
+                prof_dir = os.path.join(self.log_dir, "profile")
+                os.makedirs(prof_dir, exist_ok=True)
+                jax.profiler.start_trace(prof_dir)
+                logger.info("Started jax.profiler trace -> %s", prof_dir)
             self.key, k_p, k_l, k_s = jax.random.split(self.key, 4)
             pixel_rg = rg_fn(int(step))
             if error_map_buffered and self.buffer_ratio > 0:
@@ -161,11 +187,18 @@ class Trainer:
                 pixel_rg=pixel_rg, lidar_rg=lidar_rg,
             )
 
+            if prof_start >= 0 and step == prof_start + prof_iters:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                logger.info("Stopped jax.profiler trace at step %d", int(step))
+
             if step % cfg.logging.print_freq == 0 or step == num_iters:
                 scalars = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
                 metric_logger.update(**scalars)
                 if self.wandb is not None:
                     self.wandb.log(scalars, step=int(step))
+                if check_nan:
+                    raise_on_nonfinite(scalars, int(step))
 
             if (
                 step > 0
@@ -226,6 +259,42 @@ class Trainer:
         results: Dict[str, float] = {}
         video_dir = os.path.join(self.log_dir, "videos")
         os.makedirs(video_dir, exist_ok=True)
+
+        # few-shot Occ3D semantic-occupancy eval (train_emernerf.py:201-232)
+        if cfg.eval.eval_occ:
+            from emernerf_tpu.eval.occ import run_occ_eval
+            from emernerf_tpu.eval.points import PointQueryEngine
+
+            if not hasattr(self.dataset, "ego_to_worlds"):
+                logger.warning(
+                    "eval_occ=True but the dataset has no ego poses / Occ3D "
+                    "annotations (only the Waymo loader provides them); "
+                    "skipping occupancy eval"
+                )
+            else:
+                try:
+                    occ_metrics = run_occ_eval(
+                        self.dataset, PointQueryEngine(self.model),
+                        self.state.params,
+                        annotation_stride=cfg.eval.occ_annotation_stride,
+                    )
+                except FileNotFoundError as e:
+                    logger.warning(
+                        "eval_occ=True but Occ3D annotations missing: %s", e
+                    )
+                    occ_metrics = None
+                if occ_metrics is not None:
+                    for k, v in occ_metrics.items():
+                        if np.ndim(v) == 0:
+                            results[f"occ/{k}"] = float(v)
+                    with open(
+                        os.path.join(
+                            self.log_dir, f"metrics_occ_{step}.json"
+                        ),
+                        "w",
+                    ) as f:
+                        json.dump(occ_metrics, f, indent=2)
+                    logger.info("[occ] %s", occ_metrics)
 
         # lidar scene-flow eval (train_emernerf.py:234-288)
         if (

@@ -121,6 +121,7 @@ def test_update_pixel_error_map():
     assert float(scene2.pixel_error_map.max()) == 1.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dynamic,flow", [(False, False), (True, True)])
 def test_training_improves_psnr(dynamic, flow):
     scene_np, scene = _make_scene(dynamic=dynamic)
@@ -176,3 +177,51 @@ def test_train_state_step_advances_and_lr_logged():
     assert int(state.step) == 1
     assert "lr" in metrics and float(metrics["lr"]) > 0
     assert "prop_loss" in metrics
+
+
+def test_nan_tripwire_unit():
+    """raise_on_nonfinite flags NaN/inf loss scalars and passes finite ones
+    (reference semantics: /root/reference/loss/base.py:77-79)."""
+    from emernerf_tpu.train.trainer import raise_on_nonfinite
+
+    raise_on_nonfinite({"rgb_loss": 0.5, "psnr": 20.0, "lr": 0.01}, 100)
+    # non-loss keys are not checked even if non-finite (e.g. padded metrics)
+    raise_on_nonfinite({"rgb_loss": 1.0, "range_rmse": float("nan")}, 1)
+    with pytest.raises(RuntimeError, match="rgb_loss"):
+        raise_on_nonfinite({"rgb_loss": float("nan")}, 3)
+    with pytest.raises(RuntimeError, match="psnr"):
+        raise_on_nonfinite({"psnr": float("inf")}, 3)
+
+
+@pytest.mark.slow
+def test_nan_tripwire_halts_training(tmp_path, monkeypatch):
+    """A training run with optim.check_nan=True halts when the fused step
+    starts producing non-finite losses."""
+    from emernerf_tpu.flagship import flagship_config
+    from emernerf_tpu.train.trainer import Trainer
+
+    cfg = flagship_config(
+        tiny=True,
+        overrides=[
+            "optim.num_iters=5",
+            "optim.check_nan=true",
+            "logging.print_freq=1",
+            "logging.saveckpt_freq=0",
+            "render.render_low_res=false",
+            "render.render_full=false",
+            "render.render_test=false",
+        ],
+    )
+    trainer = Trainer(cfg, str(tmp_path))
+
+    real_step = trainer.train_step
+
+    def poisoned_step(state, pixel_batch, lidar_batch, key, **kw):
+        new_state, m = real_step(state, pixel_batch, lidar_batch, key, **kw)
+        m = dict(m)
+        m["rgb_loss"] = jnp.asarray(float("nan"))
+        return new_state, m
+
+    monkeypatch.setattr(trainer, "train_step", poisoned_step)
+    with pytest.raises(RuntimeError, match="Non-finite loss"):
+        trainer.train()

@@ -113,3 +113,56 @@ def test_test_split_stride(fake_scene):
     assert set(ds.test_frames.tolist()) == {0, 2}
     assert len(ds.train_indices) == 2 and len(ds.test_indices) == 2
     assert ds.has_test_split
+
+
+def test_notr_split_data_ships_with_repo():
+    """The NOTR scene list + split definitions (pure data, mirrored from the
+    reference data/ directory) exist and parse through the downloader's
+    readers with consistent scene ids."""
+    import os
+
+    from emernerf_tpu.tools.download_waymo import (
+        read_scene_list,
+        read_split_file,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    names = read_scene_list(os.path.join(root, "waymo_train_list.txt"))
+    assert len(names) == 798
+    assert all(n.startswith("segment-") for n in names[:5])
+
+    for split, expected in [("static32", 32), ("dynamic32", 32),
+                            ("diverse56", 56)]:
+        ids = read_split_file(
+            os.path.join(root, "waymo_splits", f"{split}.txt")
+        )
+        assert len(ids) == expected
+        assert all(0 <= i < len(names) for i in ids)
+
+
+def test_get_valid_lidar_mask_projects_points():
+    """Points in front of the camera inside the frustum are valid; points
+    behind or far off-axis are not (ref datasets/waymo.py:638-668)."""
+    import numpy as np
+
+    from emernerf_tpu.data.dataset import SceneDataset
+
+    h, w = 20, 30
+    intr = np.array([[20.0, 0, 15.0], [0, 20.0, 10.0], [0, 0, 1.0]])
+    c2w = np.eye(4)  # camera at origin looking +z (OpenCV convention)
+    ds = SceneDataset(
+        images=np.zeros((1, h, w, 3), np.float32),
+        c2w=c2w[None],
+        intrinsics=intr[None],
+        frame_idx=np.array([0]),
+        cam_ids=np.array([0]),
+    )
+    pts = np.array(
+        [
+            [0.0, 0.0, 5.0],    # straight ahead -> valid
+            [0.0, 0.0, -5.0],   # behind -> invalid
+            [100.0, 0.0, 5.0],  # far off-axis -> invalid
+        ]
+    )
+    mask = ds.get_valid_lidar_mask(0, pts)
+    assert mask.tolist() == [True, False, False]

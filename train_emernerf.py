@@ -106,6 +106,20 @@ def main(args):
 
     from emernerf_tpu.train.trainer import Trainer  # deferred: heavy imports
 
+    if (args.eval_only or args.visualize_voxel) and not cfg.resume_from:
+        # --eval_only without resume_from would silently evaluate a random
+        # init; pick up the newest checkpoint in the run directory instead
+        from emernerf_tpu.train.checkpoints import latest_checkpoint
+
+        ckpt = latest_checkpoint(cfg.log_dir)
+        if ckpt is None:
+            raise FileNotFoundError(
+                f"--eval_only needs a checkpoint: none found under "
+                f"{cfg.log_dir} and resume_from is unset"
+            )
+        logger.info("eval_only: resuming from latest checkpoint %s", ckpt)
+        cfg.resume_from = ckpt
+
     trainer = Trainer(cfg, cfg.log_dir, enable_wandb=args.enable_wandb)
 
     if args.render_data_video:
