@@ -11,15 +11,63 @@ from typing import List
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from emernerf_tpu.config import ConfigNode
 from emernerf_tpu.data.dataset import SceneDataset
 from emernerf_tpu.models.fields import DensityField, RadianceField
+from emernerf_tpu.ops.brickgrid import BrickGridSpec
 from emernerf_tpu.ops.hashgrid import HashGridSpec
 from emernerf_tpu.train.step import TrainStepConfig
 
 
-def _hash_spec(enc_cfg: ConfigNode) -> HashGridSpec:
-    return HashGridSpec(
+def make_grid_spec(
+    backend: str,
+    n_input_dims: int,
+    n_levels: int,
+    base_resolution: int,
+    max_resolution: int,
+    log2_hashmap_size: int,
+    n_features_per_level: int,
+):
+    """Grid spec for the configured backend.
+
+    "brick" (default, TPU-fast): cell capacity matches the hash table —
+    a brick covers 2^3 spatial cells, so log2_bricks = log2_hashmap_size - 3.
+    "hash": the exact tcnn layout (for parity checks / tiny models)."""
+    if backend == "hash":
+        return HashGridSpec(
+            n_input_dims=n_input_dims,
+            n_levels=n_levels,
+            base_resolution=base_resolution,
+            max_resolution=max_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            n_features_per_level=n_features_per_level,
+        )
+    if backend == "brick":
+        return BrickGridSpec(
+            n_input_dims=n_input_dims,
+            n_levels=n_levels,
+            base_resolution=base_resolution,
+            max_resolution=max_resolution,
+            log2_bricks=max(log2_hashmap_size - 3, 4),
+            n_features_per_level=n_features_per_level,
+        )
+    raise ValueError(f"Unknown grid backend: {backend}")
+
+
+def _grid_backend(cfg: ConfigNode) -> str:
+    return cfg.nerf.model.get("grid_backend", "brick")
+
+
+def _table_dtype(cfg: ConfigNode):
+    name = cfg.nerf.model.get("table_dtype", "float32")
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def _enc_spec(enc_cfg: ConfigNode, backend: str):
+    return make_grid_spec(
+        backend,
         n_input_dims=enc_cfg.n_input_dims,
         n_levels=enc_cfg.n_levels,
         base_resolution=enc_cfg.base_resolution,
@@ -29,12 +77,17 @@ def _hash_spec(enc_cfg: ConfigNode) -> HashGridSpec:
     )
 
 
-# Flow encoder structure is hardcoded in the reference
-# (radiance_field.py:916-923).
-FLOW_SPEC = HashGridSpec(
-    n_input_dims=4, n_levels=10, base_resolution=16, max_resolution=4096,
-    log2_hashmap_size=18, n_features_per_level=4,
-)
+def _flow_spec(backend: str):
+    """Flow encoder structure is hardcoded in the reference
+    (radiance_field.py:916-923)."""
+    return make_grid_spec(
+        backend, n_input_dims=4, n_levels=10, base_resolution=16,
+        max_resolution=4096, log2_hashmap_size=18, n_features_per_level=4,
+    )
+
+
+# kept for backward compatibility with existing tests/tools
+FLOW_SPEC = _flow_spec("hash")
 
 
 def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceField:
@@ -54,15 +107,16 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
     if enable_feature and dataset.features is not None:
         feature_dim = int(dataset.features.shape[-1])
 
+    backend = _grid_backend(cfg)
     dynamic_spec = (
-        _hash_spec(model_cfg.dynamic_xyz_encoder)
+        _enc_spec(model_cfg.dynamic_xyz_encoder, backend)
         if head.enable_dynamic_branch
         else None
     )
-    flow_spec = FLOW_SPEC if head.enable_flow_branch else None
+    flow_spec = _flow_spec(backend) if head.enable_flow_branch else None
 
     return RadianceField(
-        static_spec=_hash_spec(model_cfg.xyz_encoder),
+        static_spec=_enc_spec(model_cfg.xyz_encoder, backend),
         dynamic_spec=dynamic_spec,
         flow_spec=flow_spec,
         aabb=tuple(float(v) for v in dataset.aabb),
@@ -83,6 +137,7 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         enable_learnable_pe=head.enable_learnable_pe,
         num_train_timesteps=dataset.num_img_timesteps,
         time_diff=dataset.time_diff,
+        table_dtype=_table_dtype(cfg),
     )
 
 
@@ -92,9 +147,11 @@ def build_propnets_from_cfg(
     """Two proposal density fields (reference builders.py:92-110)."""
     pcfg = cfg.nerf.propnet
     enc = pcfg.xyz_encoder
+    backend = _grid_backend(cfg)
     nets = []
     for i in range(len(pcfg.num_samples_per_prop)):
-        spec = HashGridSpec(
+        spec = make_grid_spec(
+            backend,
             n_input_dims=enc.n_input_dims,
             n_levels=enc.n_levels_per_prop[i],
             base_resolution=enc.base_resolutions_per_prop[i],
@@ -107,6 +164,7 @@ def build_propnets_from_cfg(
                 spec=spec,
                 aabb=tuple(float(v) for v in dataset.aabb),
                 unbounded=cfg.nerf.unbounded,
+                table_dtype=_table_dtype(cfg),
             )
         )
     return nets

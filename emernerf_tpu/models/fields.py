@@ -9,8 +9,9 @@ TPU-first re-design of the reference model classes
     learnable positional-embedding (PE) map (radiance_field.py:20-785).
   * ``DensityField`` — proposal density network (radiance_field.py:788-841).
 
-All hash encodings run through :func:`emernerf_tpu.ops.hashgrid_encode`
-(batched XLA gathers; Pallas kernel slot-in), every head is a dense matmul
+All grid encodings run through :func:`emernerf_tpu.ops.grid.grid_encode`
+(brick grids by default — one wide XLA gather per point-level — or exact
+hash grids for parity checks), every head is a dense matmul
 batch, and all shapes are static: positions are (R, S, 3), per-ray data is
 expanded to (R, S) by the renderer.  Config booleans are module attributes,
 so Python branching below is resolved at trace time.
@@ -32,14 +33,18 @@ from emernerf_tpu.ops.contraction import (
     inside_unit_cube_selector,
     normalize_aabb,
 )
-from emernerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, init_hashgrid_table
+from emernerf_tpu.ops.grid import grid_encode, init_grid_table
 from emernerf_tpu.ops.interp import grid_sample_2d
 from emernerf_tpu.ops.sinusoidal import sinusoidal_encode, sinusoidal_output_dim
 
 
-def _table_init(spec: HashGridSpec, dtype):
+def _table_init(spec):
+    """Tables are STORED fp32 (master weights + fp32 Adam moments) and cast
+    to ``table_dtype`` at encode time — the TPU bf16 recipe (SURVEY §2.3):
+    bf16 gathers/compute, fp32 optimizer state, no loss scaling."""
+
     def init(key, *_):
-        return init_hashgrid_table(key, spec, dtype=dtype)
+        return init_grid_table(key, spec, dtype=jnp.float32)
 
     return init
 
@@ -48,14 +53,14 @@ class DensityField(nn.Module):
     """Proposal density network: small hash encoder + 2-layer MLP -> density
     (radiance_field.py:788-841)."""
 
-    spec: HashGridSpec
+    spec: object  # HashGridSpec | BrickGridSpec
     aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
     unbounded: bool = True
     base_mlp_layer_width: int = 64
     table_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.table = self.param("hash_table", _table_init(self.spec, self.table_dtype))
+        self.table = self.param("hash_table", _table_init(self.spec))
         self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, 1))
 
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
@@ -66,17 +71,18 @@ class DensityField(nn.Module):
         else:
             normed = normalize_aabb(positions, aabb)
         normed = normed * inside_unit_cube_selector(normed)[..., None]
-        enc = hashgrid_encode(
-            self.table, normed, self.spec, needs_pos_grad=False
+        enc = grid_encode(
+            self.table.astype(self.table_dtype), normed, self.spec,
+            needs_pos_grad=False,
         ).astype(jnp.float32)
         raw = self.base_mlp(enc)[..., 0]
         return density_activation(raw)
 
 
 class RadianceField(nn.Module):
-    static_spec: HashGridSpec
-    dynamic_spec: Optional[HashGridSpec] = None
-    flow_spec: Optional[HashGridSpec] = None
+    static_spec: object  # HashGridSpec | BrickGridSpec
+    dynamic_spec: object = None
+    flow_spec: object = None
     aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
     unbounded: bool = True
     geometry_feature_dim: int = 64
@@ -102,13 +108,13 @@ class RadianceField(nn.Module):
     def setup(self):
         gf, sf = self.geometry_feature_dim, self.semantic_feature_dim
         self.xyz_table = self.param(
-            "xyz_table", _table_init(self.static_spec, self.table_dtype)
+            "xyz_table", _table_init(self.static_spec)
         )
         self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, gf + sf))
 
         if self.dynamic_spec is not None:
             self.dynamic_table = self.param(
-                "dynamic_table", _table_init(self.dynamic_spec, self.table_dtype)
+                "dynamic_table", _table_init(self.dynamic_spec)
             )
             self.dynamic_base_mlp = Sequential64(
                 widths=(self.base_mlp_layer_width, gf + sf)
@@ -116,7 +122,7 @@ class RadianceField(nn.Module):
 
         if self.flow_spec is not None:
             self.flow_table = self.param(
-                "flow_table", _table_init(self.flow_spec, self.table_dtype)
+                "flow_table", _table_init(self.flow_spec)
             )
             # 3 layers of base width -> 6 (fwd + bwd flow), no final activation
             self.flow_mlp = Sequential64(
@@ -206,8 +212,9 @@ class RadianceField(nn.Module):
     def forward_static_hash(self, positions):
         normed = self.contract_points(positions)
         # sampled positions carry no gradient -> skip d/dpos in the VJP
-        enc = hashgrid_encode(
-            self.xyz_table, normed, self.static_spec, needs_pos_grad=False
+        enc = grid_encode(
+            self.xyz_table.astype(self.table_dtype), normed,
+            self.static_spec, needs_pos_grad=False,
         )
         return self.base_mlp(enc.astype(jnp.float32)), normed
 
@@ -219,9 +226,9 @@ class RadianceField(nn.Module):
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
-        enc = hashgrid_encode(
-            self.dynamic_table, xyzt, self.dynamic_spec,
-            needs_pos_grad=needs_pos_grad,
+        enc = grid_encode(
+            self.dynamic_table.astype(self.table_dtype), xyzt,
+            self.dynamic_spec, needs_pos_grad=needs_pos_grad,
         ).astype(jnp.float32)
         return self.dynamic_base_mlp(enc), enc
 
@@ -231,8 +238,8 @@ class RadianceField(nn.Module):
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
-        enc = hashgrid_encode(
-            self.flow_table, xyzt, self.flow_spec,
+        enc = grid_encode(
+            self.flow_table.astype(self.table_dtype), xyzt, self.flow_spec,
             needs_pos_grad=needs_pos_grad,
         ).astype(jnp.float32)
         return self.flow_mlp(enc)

@@ -1,0 +1,476 @@
+"""Brick-grid hash encoding: the TPU-native row-count fix for hash grids.
+
+TPU random access is ROW-RATE-bound (~110-150M gathered rows/s on v5e
+regardless of row width up to ~128 lanes — perf/microbench.py), so the
+classic Instant-NGP layout (8 narrow corner gathers per point-level, as in
+ops/hashgrid.py / tiny-cuda-nn, reference third_party/tcnn_modules.py) is
+8x off the achievable rate.  A brick grid stores a 2x2x2-CELL brick —
+3x3x3 = 27 corner feature vectors — contiguously in one table row, so each
+(point, level) query is ONE wide gather:
+
+  cell   = floor(x * scale + 0.5);  frac in [0,1)
+  brick  = cell >> 1;   o = cell & 1          (cell's position in its brick)
+  row    = spatial_hash(brick) (or linear index when the brick grid fits)
+  corner (i,j,k) of the cell lives at brick-local (o+i, o+j, o+k) ∈ {0,1,2}^3
+
+Trilinear interpolation becomes a FACTORIZED weighting over the 27 brick
+corners: per axis the weight over local positions {0,1,2} is
+  w[p] = (p == o) * (1-f) + (p == o+1) * f
+and W27 = wx ⊗ wy ⊗ wz (8 nonzero of 27) — all dense vector math, no
+per-point lane selection.  4D (space-time) grids brick space only and
+gather TWO rows (t and t+1), lerped by the time fraction: 2 rows per
+(point, level) instead of 16.
+
+The cost is parameter duplication (27/8 per cell) and C0 continuity only
+within bricks (field kinks at brick planes) — quality must be checked
+against the exact hash on a synthetic scene (tests/test_brickgrid.py and
+the PSNR-parity bench).
+
+Backward: custom VJP recomputes indices/weights (frugal residuals, like
+ops/hashgrid.py) and scatters table grads in one of several measured
+formulations (EMERNERF_SCATTER): "flat" narrow per-corner scatters into the
+flattened table, or "wide" whole-row scatter-adds.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from functools import cached_property, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Instant-NGP spatial-hash primes (prime_0 = 1, as in tiny-cuda-nn)
+_PRIMES = (1, 2654435761, 805459861, 3674653429)
+
+
+def _SCATTER_MODE() -> str:
+    """Table-grad scatter formulation: "wide" = one (N, 27F)-row
+    scatter-add per (level, slice) — measured ~52M rows/s on v5e, vs 108x
+    more narrow rows for "flat" (kept for tests/tiny models)."""
+    return os.environ.get("EMERNERF_SCATTER", "wide")
+
+
+def _REDUCE_MODE() -> str:
+    return os.environ.get("EMERNERF_REDUCE", "unroll")
+
+
+@dataclass(frozen=True)
+class BrickGridSpec:
+    """Static description of a brick-grid encoder.
+
+    Level scales/resolutions are defined over CELLS exactly like
+    ops/hashgrid.py:HashGridSpec (Instant-NGP geometric growth), so a brick
+    grid is a drop-in replacement for the same hyperparameters.
+    ``log2_bricks`` sizes each level's brick table; with bricks of 2^D
+    cells, cell capacity per level is ``2^(log2_bricks + D)`` (spatial
+    dims only for 4D).
+    """
+
+    n_input_dims: int = 3
+    n_levels: int = 16
+    base_resolution: int = 16
+    max_resolution: int = 2048
+    log2_bricks: int = 16
+    n_features_per_level: int = 2
+
+    # corners per axis inside one brick (brick = 2 cells/axis)
+    CPA: int = 3
+
+    @property
+    def spatial_dims(self) -> int:
+        return min(self.n_input_dims, 3)
+
+    @property
+    def has_time(self) -> bool:
+        return self.n_input_dims == 4
+
+    @property
+    def corners_per_brick(self) -> int:
+        return self.CPA ** self.spatial_dims  # 27 (3D) / 27 (4D, space only)
+
+    @property
+    def row_width(self) -> int:
+        return self.corners_per_brick * self.n_features_per_level
+
+    @property
+    def bricks_per_level(self) -> int:
+        return 1 << self.log2_bricks
+
+    @property
+    def table_shape(self) -> Tuple[int, int]:
+        """(L * B, 27*F): row-major, one brick per row.  Row width 108
+        (F=4) pads to 128 lanes — 18% waste vs the 32x penalty of
+        features-minor narrow layouts."""
+        return (self.n_levels * self.bricks_per_level, self.row_width)
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def num_parameters(self) -> int:
+        return self.table_shape[0] * self.table_shape[1]
+
+    @cached_property
+    def growth_factor(self) -> float:
+        if self.n_levels <= 1:
+            return 1.0
+        return math.exp(
+            (math.log(self.max_resolution) - math.log(self.base_resolution))
+            / (self.n_levels - 1)
+        )
+
+    @cached_property
+    def level_scales(self) -> np.ndarray:
+        log2g = math.log2(self.growth_factor)
+        return np.asarray(
+            [
+                math.exp2(lv * log2g) * self.base_resolution - 1.0
+                for lv in range(self.n_levels)
+            ],
+            dtype=np.float64,
+        )
+
+    @cached_property
+    def level_resolutions(self) -> np.ndarray:
+        """Cell-grid resolutions (corners per axis), as in HashGridSpec."""
+        return np.asarray(
+            [int(math.ceil(s)) + 1 for s in self.level_scales], dtype=np.int64
+        )
+
+    @cached_property
+    def brick_resolutions(self) -> np.ndarray:
+        """Bricks per axis: cell coords 0..R-1 -> brick coords 0..(R-1)>>1."""
+        return np.asarray(
+            [((int(r) - 1) >> 1) + 1 for r in self.level_resolutions],
+            dtype=np.int64,
+        )
+
+    @cached_property
+    def level_uses_hash(self) -> np.ndarray:
+        """True when the (spatial [* time]) brick grid exceeds the table."""
+        b = self.bricks_per_level
+        out = []
+        for r in self.brick_resolutions:
+            cells = int(r) ** self.spatial_dims
+            if self.has_time:
+                # time axis is unbricked cell resolution
+                cells *= int(self.level_resolutions[len(out)])
+            out.append(cells > b)
+        return np.asarray(out, dtype=bool)
+
+
+def init_brickgrid_table(key, spec: BrickGridSpec, dtype=jnp.float32,
+                         scale=1e-4):
+    """U(-1e-4, 1e-4), matching tcnn's hash-table init."""
+    return jax.random.uniform(
+        key, spec.table_shape, dtype=dtype, minval=-scale, maxval=scale
+    )
+
+
+def _level_constants(spec: BrickGridSpec):
+    d = spec.spatial_dims
+    scales = np.asarray(spec.level_scales, dtype=np.float32)
+    bres = spec.brick_resolutions
+    # linear strides over the brick grid (+ time as the slowest axis)
+    strides = []
+    for li, r in enumerate(bres):
+        s = [(int(r) ** i) & 0xFFFFFFFF for i in range(d)]
+        if spec.has_time:
+            s.append((int(r) ** d) & 0xFFFFFFFF)  # time stride
+        strides.append(s)
+    return scales, np.asarray(strides, dtype=np.uint32), np.asarray(
+        spec.level_uses_hash
+    )
+
+
+def _brick_rows(spec: BrickGridSpec, brick_u, t_cell_u, lvl: int,
+                strides, uses_hash):
+    """Rows (local to the level's table slice) for brick coords.
+
+    brick_u: list of D (N,) uint32 arrays; t_cell_u: (N,) uint32 or None.
+    """
+    d = spec.spatial_dims
+    mask = jnp.uint32(spec.bricks_per_level - 1)
+    if uses_hash[lvl]:
+        r = brick_u[0] * jnp.uint32(_PRIMES[0])
+        for i in range(1, d):
+            r = r ^ (brick_u[i] * jnp.uint32(_PRIMES[i]))
+        if t_cell_u is not None:
+            r = r ^ (t_cell_u * jnp.uint32(_PRIMES[3]))
+    else:
+        r = brick_u[0] * jnp.uint32(int(strides[lvl][0]))
+        for i in range(1, d):
+            r = r + brick_u[i] * jnp.uint32(int(strides[lvl][i]))
+        if t_cell_u is not None:
+            r = r + t_cell_u * jnp.uint32(int(strides[lvl][d]))
+    return (r & mask).astype(jnp.int32)
+
+
+def _axis_weights(o, f):
+    """Per-axis weights over brick-local corner positions {0, 1, 2}.
+
+    o: (N,) float 0/1 cell offset inside the brick; f: (N,) fraction.
+    w[p] = (p == o) (1-f) + (p == o+1) f, evaluated densely:
+      w0 = (1-o)(1-f);  w1 = o(1-f) + (1-o)f;  w2 = o f
+    """
+    return ((1 - o) * (1 - f), o * (1 - f) + (1 - o) * f, o * f)
+
+
+def _axis_dweights(o):
+    """d(w[p])/df for the three positions (depends only on o):
+    w = ((1-o)(1-f), o(1-f) + (1-o)f, o f)."""
+    return (-(1 - o), 1 - 2 * o, o)
+
+
+def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
+                    uses_hash):
+    """Per-level index/fraction computation, all in N-minor 1D arrays.
+
+    xt: (D, N) spatial coords in [0,1]; tt: (N,) time or None.
+    Returns rows (N,) int32 (level-local; 4D: tuple of two row arrays),
+    per-axis (o, f) pairs, and time fraction (or None)."""
+    d = spec.spatial_dims
+    pos = [xt[i] * scales[lvl] + 0.5 for i in range(d)]
+    cell = [jnp.floor(p) for p in pos]
+    frac = [p - c for p, c in zip(pos, cell)]
+    cell_i = [c.astype(jnp.int32) for c in cell]
+    off = [(c & 1).astype(jnp.float32) for c in cell_i]
+    brick_u = [(c >> 1).astype(jnp.uint32) for c in cell_i]
+
+    if spec.has_time:
+        tpos = tt * scales[lvl] + 0.5
+        t_cell = jnp.floor(tpos)
+        t_frac = tpos - t_cell
+        t_u = t_cell.astype(jnp.int32).astype(jnp.uint32)
+        rows0 = _brick_rows(spec, brick_u, t_u, lvl, strides, uses_hash)
+        rows1 = _brick_rows(
+            spec, brick_u, t_u + jnp.uint32(1), lvl, strides, uses_hash
+        )
+        return (rows0, rows1), list(zip(off, frac)), t_frac
+    rows = _brick_rows(spec, brick_u, None, lvl, strides, uses_hash)
+    return (rows,), list(zip(off, frac)), None
+
+
+def _corner_weights(spec: BrickGridSpec, axes):
+    """All 27 corner weights as a list of (N,) arrays (unrolled outer
+    product of the per-axis weight triples; 19 of 27 are analytically
+    zero-valued but densely computed — pure VPU math, no lane selection)."""
+    d = spec.spatial_dims
+    ws = [_axis_weights(o, f) for o, f in axes]  # D triples of (N,)
+    out = []
+    for c in range(spec.corners_per_brick):
+        idx = []
+        cc = c
+        for _ in range(d):
+            idx.append(cc % spec.CPA)
+            cc //= spec.CPA
+        # idx[0] is the fastest axis; match the linear corner layout below
+        w = ws[0][idx[0]]
+        for i in range(1, d):
+            w = w * ws[i][idx[i]]
+        out.append(w)
+    return out
+
+
+def _weights_row(weights, f, dtype):
+    """27 (N,) corner weights -> (N, 27F) lane-expanded weight row matching
+    the table's corner-major feature layout."""
+    w27 = jnp.stack(weights, axis=-1).astype(dtype)  # (N, 27)
+    return jnp.repeat(w27, f, axis=1)  # (N, 27F)
+
+
+def _reduce_row(feats, weights, f):
+    """(N, 27F) gathered rows x 27 (N,) weights -> (N, F).
+
+    "unroll"/"tile": elementwise multiply by the lane-expanded weight row,
+    then a lane-block reduction — one fused pass over the gather output.
+    "einsum": single contraction, lets XLA pick the layout."""
+    n, w = feats.shape
+    c = w // f
+    if _REDUCE_MODE() == "einsum":
+        w27 = jnp.stack(weights, axis=-1).astype(feats.dtype)  # (N, 27)
+        return jnp.einsum("nc,ncf->nf", w27, feats.reshape(n, c, f))
+    prod = feats * _weights_row(weights, f, feats.dtype)
+    return prod.reshape(n, c, f).sum(axis=1)  # (N, F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def brickgrid_encode(
+    table: jnp.ndarray,
+    positions: jnp.ndarray,
+    spec: BrickGridSpec,
+    needs_pos_grad: bool = True,
+) -> jnp.ndarray:
+    """Encode positions ((..., D), in [0,1]) -> (..., L*F) features.
+
+    One wide gather per (point, level) for 3D, two for 4D — the measured
+    -optimal formulation on v5e (gathers are row-rate-bound).  All levels
+    are fetched in a single take with static per-level offsets."""
+    out, _ = _encode_impl(table, positions, spec)
+    return out
+
+
+def _encode_impl(table, positions, spec: BrickGridSpec):
+    d = spec.n_input_dims
+    f = spec.n_features_per_level
+    batch_shape = positions.shape[:-1]
+    x = positions.reshape(-1, d).T  # (D, N), N-minor
+    n = x.shape[1]
+    xt = x[: spec.spatial_dims]
+    tt = x[spec.spatial_dims] if spec.has_time else None
+    scales, strides, uses_hash = _level_constants(spec)
+    b = spec.bricks_per_level
+
+    # per-(level, time-slice) gathers: keeps the live (N, 27F) gather
+    # transient bounded to one level (one big take over all levels would
+    # materialize L*S*N rows — tens of GB at the training workload)
+    outs = []
+    for lvl in range(spec.n_levels):
+        rows, axes, t_frac = _level_geometry(
+            spec, xt, tt, lvl, scales, strides, uses_hash
+        )
+        rows = tuple(r + jnp.int32(lvl * b) for r in rows)
+        weights = _corner_weights(spec, axes)
+        feats0 = jnp.take(table, rows[0], axis=0, mode="clip")  # (N, 27F)
+        f0 = _reduce_row(feats0, weights, f)  # (N, F)
+        if spec.has_time:
+            feats1 = jnp.take(table, rows[1], axis=0, mode="clip")
+            f1 = _reduce_row(feats1, weights, f)
+            tw = t_frac.astype(f0.dtype)[:, None]
+            f0 = f0 * (1.0 - tw) + f1 * tw
+        outs.append(f0)
+    out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
+    return out.reshape(*batch_shape, spec.n_output_dims), None
+
+
+def brickgrid_encode_ref(table, positions, spec: BrickGridSpec):
+    """Plain-autodiff oracle (same math, XLA-derived backward); used by
+    tests to validate the custom VJP."""
+    out, _ = _encode_impl(table, positions, spec)
+    return out
+
+
+def _corner_digits(spec: BrickGridSpec, c: int):
+    idx = []
+    for _ in range(spec.spatial_dims):
+        idx.append(c % spec.CPA)
+        c //= spec.CPA
+    return idx
+
+
+def _brickgrid_fwd(table, positions, spec, needs_pos_grad):
+    return brickgrid_encode(table, positions, spec, needs_pos_grad), (
+        table,
+        positions,
+    )
+
+
+def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
+    table, positions = residuals
+    d = spec.n_input_dims
+    f = spec.n_features_per_level
+    batch_shape = positions.shape[:-1]
+    x = positions.reshape(-1, d).T
+    n = x.shape[1]
+    xt = x[: spec.spatial_dims]
+    tt = x[spec.spatial_dims] if spec.has_time else None
+    scales, strides, uses_hash = _level_constants(spec)
+    b = spec.bricks_per_level
+    width = spec.row_width
+    cpb = spec.corners_per_brick
+
+    # cotangent per level: (N, L, F)
+    gl = g.reshape(-1, spec.n_levels, f).astype(jnp.float32)
+
+    mode = _SCATTER_MODE()
+    if mode == "flat":
+        d_table_acc = jnp.zeros((table.size,), jnp.float32)
+    else:
+        d_table_acc = jnp.zeros(table.shape, jnp.float32)
+    d_pos_parts = [jnp.zeros((n,), jnp.float32) for _ in range(d)]
+    lanes = np.arange(width, dtype=np.int32)
+
+    for lvl in range(spec.n_levels):
+        rows, axes, t_frac = _level_geometry(
+            spec, xt, tt, lvl, scales, strides, uses_hash
+        )
+        rows = tuple(r + jnp.int32(lvl * b) for r in rows)
+        weights = _corner_weights(spec, axes)
+        g_row = gl[:, lvl, :]  # (N, F)
+        g_tiled = jnp.tile(g_row, (1, cpb))  # (N, 27F), corner-major blocks
+        wrow = _weights_row(weights, f, jnp.float32)  # (N, 27F)
+
+        tws = (1.0 - t_frac, t_frac) if spec.has_time else (None,)
+
+        # ---- table gradient: ONE (N, 27F)-row scatter per (level, slice) —
+        # wide-row scatter-add is the measured-fastest XLA formulation at
+        # training N (perf/microbench.py: ~52M rows/s vs 32x more narrow rows)
+        for rset, tw in zip(rows, tws):
+            upd = wrow * g_tiled  # (N, 27F)
+            if tw is not None:
+                upd = upd * tw[:, None]
+            if mode == "flat":
+                idx = rset[:, None] * jnp.int32(width) + lanes[None, :]
+                d_table_acc = d_table_acc.at[idx.reshape(-1)].add(
+                    upd.reshape(-1)
+                )
+            else:  # wide
+                d_table_acc = d_table_acc.at[rset].add(upd)
+
+        if needs_pos_grad:
+            # d out / d frac needs the gathered features back (frugal
+            # residuals: re-gather instead of saving (N, 27F) per level)
+            feats_all = [
+                jnp.take(table, rset, axis=0, mode="clip").astype(jnp.float32)
+                for rset in rows
+            ]
+            # gdot[:, c] = sum_f g_f * feats[:, cF+f], per time slice
+            gdots = []
+            for feats in feats_all:
+                gdots.append(
+                    (feats * g_tiled).reshape(n, cpb, f).sum(axis=-1)
+                )  # (N, 27)
+            if spec.has_time:
+                gdot = gdots[0] * tws[0][:, None] + gdots[1] * tws[1][:, None]
+            else:
+                gdot = gdots[0]
+            gdot_c = [gdot[:, c] for c in range(cpb)]  # 27 x (N,)
+
+            ws_per_axis = [_axis_weights(o, fr) for o, fr in axes]
+            dws_per_axis = [_axis_dweights(o) for o, _ in axes]
+            for i in range(spec.spatial_dims):
+                acc = None
+                for c in range(cpb):
+                    digs = _corner_digits(spec, c)
+                    # dW_c/df_i = dw_i[dig_i] * prod_{j!=i} w_j[dig_j]
+                    dw = dws_per_axis[i][digs[i]]
+                    for j in range(spec.spatial_dims):
+                        if j == i:
+                            continue
+                        dw = dw * ws_per_axis[j][digs[j]]
+                    contrib = gdot_c[c] * dw
+                    acc = contrib if acc is None else acc + contrib
+                d_pos_parts[i] = d_pos_parts[i] + acc * scales[lvl]
+            if spec.has_time:
+                # d/dt: lerp derivative ((f1 - f0) . g) * scale
+                gsum = ((gdots[1] - gdots[0]) * jnp.stack(
+                    weights, axis=-1
+                )).sum(axis=-1)  # (N,)
+                d_pos_parts[d - 1] = d_pos_parts[d - 1] + gsum * scales[lvl]
+
+    d_table = (
+        d_table_acc.reshape(table.shape) if mode == "flat" else d_table_acc
+    )
+    d_pos = jnp.stack(d_pos_parts).T.reshape(*batch_shape, d)
+    if not needs_pos_grad:
+        d_pos = jnp.zeros_like(positions)
+    return d_table.astype(table.dtype), d_pos.astype(positions.dtype)
+
+
+brickgrid_encode.defvjp(_brickgrid_fwd, _brickgrid_bwd)

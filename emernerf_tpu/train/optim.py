@@ -26,10 +26,16 @@ import optax
 
 def make_adam(weight_decay: float = 1e-5) -> optax.GradientTransformation:
     """Adam direction (lr applied separately by the train step so the two
-    updates per iteration can use different scheduler counts)."""
+    updates per iteration can use different scheduler counts).
+
+    ``mu_dtype=float32`` keeps the first moment in fp32 even for bfloat16
+    tables (SURVEY §2.3: bf16 params + fp32 optimizer state; the second
+    moment is fp32 by optax default via the squared-grad accumulation)."""
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15, eps_root=0.0),
+        optax.scale_by_adam(
+            b1=0.9, b2=0.99, eps=1e-15, eps_root=0.0, mu_dtype=jnp.float32
+        ),
     )
 
 

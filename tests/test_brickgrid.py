@@ -1,0 +1,181 @@
+"""Brick-grid encoder correctness: numpy oracle, custom-VJP gradients,
+continuity inside bricks, and 4D time interpolation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emernerf_tpu.ops.brickgrid import (
+    BrickGridSpec,
+    brickgrid_encode,
+    brickgrid_encode_ref,
+    init_brickgrid_table,
+)
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429)
+
+
+def _oracle(table, x, spec):
+    """Independent numpy reimplementation: per-point loop over levels and
+    the 8 (16 for 4D) cell corners, reading features out of brick rows."""
+    table = np.asarray(table, np.float64)
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    f = spec.n_features_per_level
+    d_sp = spec.spatial_dims
+    out = np.zeros((n, spec.n_levels * f))
+    bres = spec.brick_resolutions
+    for lvl in range(spec.n_levels):
+        scale = spec.level_scales[lvl]
+        uses_hash = spec.level_uses_hash[lvl]
+        for p in range(n):
+            pos = x[p, :d_sp] * scale + 0.5
+            cell = np.floor(pos).astype(np.int64)
+            frac = pos - cell
+            if spec.has_time:
+                tpos = x[p, 3] * scale + 0.5
+                t_cell = int(np.floor(tpos))
+                t_frac = tpos - t_cell
+                t_iters = [(t_cell, 1 - t_frac), (t_cell + 1, t_frac)]
+            else:
+                t_iters = [(None, 1.0)]
+            acc = np.zeros(f)
+            for t_c, t_w in t_iters:
+                brick = cell >> 1
+                o = cell & 1
+                # row for this brick (+ time)
+                if uses_hash:
+                    h = np.uint32(0)
+                    for i in range(d_sp):
+                        h ^= np.uint32(
+                            (np.uint64(brick[i]) * np.uint64(_PRIMES[i]))
+                            & np.uint64(0xFFFFFFFF)
+                        )
+                    if t_c is not None:
+                        h ^= np.uint32(
+                            (np.uint64(t_c) * np.uint64(_PRIMES[3]))
+                            & np.uint64(0xFFFFFFFF)
+                        )
+                    row = int(h) & (spec.bricks_per_level - 1)
+                else:
+                    row = 0
+                    for i in range(d_sp):
+                        row += int(brick[i]) * int(bres[lvl]) ** i
+                    if t_c is not None:
+                        row += int(t_c) * int(bres[lvl]) ** d_sp
+                    row &= spec.bricks_per_level - 1
+                row += lvl * spec.bricks_per_level
+                for c in range(1 << d_sp):
+                    w = t_w
+                    lane_digits = []
+                    for i in range(d_sp):
+                        bit = (c >> i) & 1
+                        w *= frac[i] if bit else (1 - frac[i])
+                        lane_digits.append(int(o[i]) + bit)
+                    lane = 0
+                    for i in reversed(range(d_sp)):
+                        lane = lane * spec.CPA + lane_digits[i]
+                    acc += w * table[row, lane * f : (lane + 1) * f]
+            out[p, lvl * f : (lvl + 1) * f] = acc
+    return out
+
+
+SPEC3 = BrickGridSpec(3, 4, 8, 64, 8, 2)
+SPEC4 = BrickGridSpec(4, 3, 8, 32, 7, 2)
+
+
+@pytest.mark.parametrize("spec", [SPEC3, SPEC4], ids=["3d", "4d"])
+def test_brickgrid_matches_numpy_oracle(spec):
+    key = jax.random.PRNGKey(0)
+    table = init_brickgrid_table(key, spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, spec.n_input_dims))
+    got = np.asarray(brickgrid_encode(table, x, spec))
+    want = _oracle(table, x, spec)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("spec", [SPEC3, SPEC4], ids=["3d", "4d"])
+def test_brickgrid_custom_vjp_matches_autodiff(spec):
+    key = jax.random.PRNGKey(0)
+    table = init_brickgrid_table(key, spec, scale=1.0)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (32, spec.n_input_dims), minval=0.05,
+        maxval=0.95,
+    )
+    g = jax.random.normal(jax.random.PRNGKey(2), (32, spec.n_output_dims))
+
+    def loss_custom(tab, pts):
+        return (brickgrid_encode(tab, pts, spec) * g).sum()
+
+    def loss_ref(tab, pts):
+        return (brickgrid_encode_ref(tab, pts, spec) * g).sum()
+
+    gt_c, gx_c = jax.grad(loss_custom, argnums=(0, 1))(table, x)
+    gt_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    assert np.abs(np.asarray(gt_c)).sum() > 0
+    assert np.abs(np.asarray(gx_c)).sum() > 0
+
+
+def test_brickgrid_scatter_modes_agree(monkeypatch):
+    spec = SPEC3
+    table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (64, spec.n_output_dims))
+
+    def table_grad():
+        return jax.grad(
+            lambda tab: (brickgrid_encode(tab, x, spec) * g).sum()
+        )(table)
+
+    monkeypatch.setenv("EMERNERF_SCATTER", "flat")
+    g_flat = np.asarray(table_grad())
+    monkeypatch.setenv("EMERNERF_SCATTER", "wide")
+    g_wide = np.asarray(table_grad())
+    np.testing.assert_allclose(g_flat, g_wide, rtol=1e-5, atol=1e-6)
+
+
+def test_brickgrid_reduce_modes_agree(monkeypatch):
+    spec = SPEC4
+    table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 4))
+    monkeypatch.setenv("EMERNERF_REDUCE", "unroll")
+    a = np.asarray(brickgrid_encode(table, x, spec))
+    monkeypatch.setenv("EMERNERF_REDUCE", "einsum")
+    b = np.asarray(brickgrid_encode(table, x, spec))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_brickgrid_continuous_inside_brick():
+    """The field is trilinear (C0) within a brick: walking across a cell
+    face INSIDE a brick must be continuous."""
+    spec = BrickGridSpec(3, 1, 8, 8, 10, 2)  # single dense level, scale 7
+    table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)
+    # cell boundary inside a brick: pos = k + 0.5 with k odd -> cell k-1|k
+    # pos = x*7 + 0.5 -> x = k/7 crosses cell boundary at pos=k+0.5
+    eps = 1e-5
+    for k in (1, 3, 5):  # odd k: boundary between the two cells of a brick
+        x_lo = jnp.array([[k / 7.0 - eps, 0.3, 0.4]])
+        x_hi = jnp.array([[k / 7.0 + eps, 0.3, 0.4]])
+        lo = np.asarray(brickgrid_encode(table, x_lo, spec))
+        hi = np.asarray(brickgrid_encode(table, x_hi, spec))
+        np.testing.assert_allclose(lo, hi, atol=1e-3)
+
+
+def test_brickgrid_dtype_bf16_table():
+    spec = SPEC3
+    table = init_brickgrid_table(
+        jax.random.PRNGKey(0), spec, dtype=jnp.bfloat16, scale=1.0
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+    out = brickgrid_encode(table, x, spec)
+    assert out.dtype == jnp.bfloat16
+    gt = jax.grad(
+        lambda tab: (brickgrid_encode(tab, x, spec).astype(jnp.float32)).sum()
+    )(table)
+    assert gt.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(gt.astype(jnp.float32)).all())
