@@ -41,8 +41,11 @@ def _uniform_filter_2d(img: np.ndarray, win: int) -> np.ndarray:
     return s / (win * win)
 
 
-def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7) -> float:
-    """Mean SSIM between two (H, W, C) or (H, W) images in [0, 1]."""
+def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7,
+                 full: bool = False):
+    """Mean SSIM between two (H, W, C) or (H, W) images in [0, 1].
+    ``full=True`` also returns the per-pixel SSIM map (channel-averaged),
+    used for dynamic-masked SSIM (reference video_utils.py:222-231)."""
     pred = np.asarray(pred, np.float64)
     gt = np.asarray(gt, np.float64)
     if pred.ndim == 2:
@@ -52,7 +55,7 @@ def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7) -> float:
     # skimage's filter normalization: unbiased covariance (N/(N-1))
     npts = win_size * win_size
     cov_norm = npts / (npts - 1)
-    vals = []
+    maps = []
     for c in range(pred.shape[-1]):
         x, y = pred[..., c], gt[..., c]
         ux = _uniform_filter_2d(x, win_size)
@@ -65,8 +68,11 @@ def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7) -> float:
         vxy = cov_norm * (uxy - ux * uy)
         a1, a2 = 2 * ux * uy + c1, 2 * vxy + c2
         b1, b2 = ux**2 + uy**2 + c1, vx + vy + c2
-        vals.append(np.mean((a1 * a2) / (b1 * b2)))
-    return float(np.mean(vals))
+        maps.append((a1 * a2) / (b1 * b2))
+    ssim_map = np.mean(np.stack(maps, axis=-1), axis=-1)
+    if full:
+        return float(ssim_map.mean()), ssim_map
+    return float(ssim_map.mean())
 
 
 def compute_scene_flow_metrics(pred: np.ndarray, labels: np.ndarray) -> Dict[str, float]:

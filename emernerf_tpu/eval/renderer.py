@@ -139,7 +139,8 @@ class ImageRenderer:
         mirroring render_pixels (video_utils.py:50-101)."""
         frames: List[Dict[str, np.ndarray]] = []
         psnrs, ssims = [], []
-        dyn_psnrs, stat_psnrs = [], []
+        dyn_psnrs, stat_psnrs, dyn_ssims = [], [], []
+        feat_psnrs, masked_feat_psnrs = [], []
         for idx in indices:
             rays, gt = dataset.get_image_rays(int(idx), downscale=downscale)
             maps = self.render_image(params, prop_params, rays, gt["hw"])
@@ -151,25 +152,47 @@ class ImageRenderer:
             frames.append(maps)
             if compute_metrics and "rgb" in maps:
                 psnrs.append(compute_psnr(maps["rgb"], gt["pixels"]))
-                ssims.append(compute_ssim(
-                    np.clip(maps["rgb"], 0, 1), np.clip(gt["pixels"], 0, 1)
-                ))
+                ssim_mean, ssim_map = compute_ssim(
+                    np.clip(maps["rgb"], 0, 1), np.clip(gt["pixels"], 0, 1),
+                    full=True,
+                )
+                ssims.append(ssim_mean)
                 if "dynamic_masks" in gt:
                     m = gt["dynamic_masks"] > 0.5
                     if m.sum() > 0:
                         dyn_psnrs.append(
                             compute_psnr(maps["rgb"][m], gt["pixels"][m])
                         )
+                        dyn_ssims.append(float(ssim_map[m].mean()))
                     if (~m).sum() > 0:
                         stat_psnrs.append(
                             compute_psnr(maps["rgb"][~m], gt["pixels"][~m])
                         )
+                # feat-PSNR on lifted DINO features
+                # (reference video_utils.py:92-99, 234-247)
+                if "dino_feat" in maps and "features" in gt:
+                    feat_psnrs.append(
+                        compute_psnr(maps["dino_feat"], gt["features"])
+                    )
+                    if "dynamic_masks" in gt:
+                        m = gt["dynamic_masks"] > 0.5
+                        if m.sum() > 0:
+                            masked_feat_psnrs.append(
+                                compute_psnr(
+                                    maps["dino_feat"][m], gt["features"][m]
+                                )
+                            )
         metrics = {}
         if psnrs:
             metrics["psnr"] = float(np.mean(psnrs))
             metrics["ssim"] = float(np.mean(ssims))
         if dyn_psnrs:
             metrics["masked_psnr"] = float(np.mean(dyn_psnrs))
+            metrics["masked_ssim"] = float(np.mean(dyn_ssims))
         if stat_psnrs:
             metrics["non_masked_psnr"] = float(np.mean(stat_psnrs))
+        if feat_psnrs:
+            metrics["feat_psnr"] = float(np.mean(feat_psnrs))
+        if masked_feat_psnrs:
+            metrics["masked_feat_psnr"] = float(np.mean(masked_feat_psnrs))
         return frames, metrics

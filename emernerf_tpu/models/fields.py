@@ -289,12 +289,17 @@ class RadianceField(nn.Module):
         return results
 
     def temporal_aggregation(
-        self, positions, normed_timestamps, forward_flow, backward_flow,
-        dynamic_feats, train: bool,
+        self, positions, normed_positions, normed_timestamps, forward_flow,
+        backward_flow, train: bool,
     ):
         """Scene-flow-warped feature aggregation, Eq. (8)
         (radiance_field.py:553-620). Re-queries the dynamic field at the
-        +/- flow-warped positions and the flow field for cycle consistency."""
+        +/- flow-warped positions and the flow field for cycle consistency.
+
+        TPU shape note: the current + two warped dynamic queries are ONE
+        batched 3N encode, and the two warped flow queries ONE 2N encode —
+        larger gathers run at measurably higher row rates
+        (perf/microbench.py) and the per-query weight math amortizes."""
         if train:
             noise = jax.random.uniform(
                 self.make_rng("aggregation"), (*forward_flow.shape[:-1], 1)
@@ -308,27 +313,24 @@ class RadianceField(nn.Module):
         fwd_time = jnp.clip(normed_timestamps + self.time_diff * noise_t, 0.0, 1.0)
         bwd_time = jnp.clip(normed_timestamps - self.time_diff * noise_t, 0.0, 1.0)
 
-        # warped positions depend on the flow field: position grads needed
-        fwd_feats, fwd_enc = self.forward_dynamic_hash(
-            fwd_pos, fwd_time, needs_pos_grad=True
-        )
-        bwd_feats, bwd_enc = self.forward_dynamic_hash(
-            bwd_pos, bwd_time, needs_pos_grad=True
-        )
-        fwd_pred_flow = self.forward_flow_hash(
-            fwd_pos, fwd_time, needs_pos_grad=True
-        )
-        bwd_pred_flow = self.forward_flow_hash(
-            bwd_pos, bwd_time, needs_pos_grad=True
-        )
+        # batched dynamic query: (cur, +warp, -warp) stacked on axis 0.
+        # warped positions depend on the flow field, so the whole batch
+        # takes position grads (the cur slice's extra d/dpos is unused).
+        pos3 = jnp.stack([normed_positions, fwd_pos, bwd_pos])
+        t3 = jnp.stack([normed_timestamps, fwd_time, bwd_time])
+        feats3, _ = self.forward_dynamic_hash(pos3, t3, needs_pos_grad=True)
+        cur_feats, fwd_feats, bwd_feats = feats3[0], feats3[1], feats3[2]
 
-        aggregated = (dynamic_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
+        # batched cycle-consistency flow query at the warped points
+        pos2 = jnp.stack([fwd_pos, bwd_pos])
+        t2 = jnp.stack([fwd_time, bwd_time])
+        pred2 = self.forward_flow_hash(pos2, t2, needs_pos_grad=True)
+
+        aggregated = (cur_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
         return {
             "dynamic_feats": aggregated,
-            "forward_pred_backward_flow": fwd_pred_flow[..., 3:],
-            "backward_pred_forward_flow": bwd_pred_flow[..., :3],
-            "forward_dynamic_hash_encodings": fwd_enc,
-            "backward_dynamic_hash_encodings": bwd_enc,
+            "forward_pred_backward_flow": pred2[0][..., 3:],
+            "backward_pred_forward_flow": pred2[1][..., :3],
         }
 
     # ------------------------------------------------------------------ #
@@ -358,21 +360,23 @@ class RadianceField(nn.Module):
         dynamic_semantic_feats = None
         if self.has_dynamic and has_timestamps:
             t = data["normed_timestamps"]
-            dynamic_feats, dynamic_enc = self.forward_dynamic_hash(
-                normed_positions, t
-            )
             if self.has_flow:
+                # the current-time dynamic query is batched INSIDE
+                # temporal_aggregation together with the two warped queries
                 flow = self.forward_flow_hash(normed_positions, t)
                 forward_flow, backward_flow = flow[..., :3], flow[..., 3:]
                 results["forward_flow"] = forward_flow
                 results["backward_flow"] = backward_flow
                 agg = self.temporal_aggregation(
-                    positions, t, forward_flow, backward_flow, dynamic_feats,
-                    train=train,
+                    positions, normed_positions, t, forward_flow,
+                    backward_flow, train=train,
                 )
                 dynamic_feats = agg.pop("dynamic_feats")
-                agg["current_dynamic_hash_encodings"] = dynamic_enc
                 results.update(agg)
+            else:
+                dynamic_feats, _ = self.forward_dynamic_hash(
+                    normed_positions, t
+                )
 
             dynamic_geo_feats = dynamic_feats[..., : self.geometry_feature_dim]
             dynamic_semantic_feats = dynamic_feats[..., self.geometry_feature_dim :]
@@ -472,16 +476,19 @@ class RadianceField(nn.Module):
 
         dynamic_semantic_feats = None
         if self.has_dynamic and normed_timestamps is not None:
-            dynamic_feats, _ = self.forward_dynamic_hash(normed, normed_timestamps)
             if self.has_flow:
                 flow = self.forward_flow_hash(normed, normed_timestamps)
                 results["forward_flow"] = flow[..., :3]
                 results["backward_flow"] = flow[..., 3:]
                 agg = self.temporal_aggregation(
-                    positions, normed_timestamps, flow[..., :3], flow[..., 3:],
-                    dynamic_feats, train=False,
+                    positions, normed, normed_timestamps, flow[..., :3],
+                    flow[..., 3:], train=False,
                 )
                 dynamic_feats = agg.pop("dynamic_feats")
+            else:
+                dynamic_feats, _ = self.forward_dynamic_hash(
+                    normed, normed_timestamps
+                )
             dynamic_geo_feats = dynamic_feats[..., : self.geometry_feature_dim]
             dynamic_semantic_feats = dynamic_feats[..., self.geometry_feature_dim :]
             dynamic_density = density_activation(dynamic_geo_feats[..., 0])

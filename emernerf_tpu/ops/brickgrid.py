@@ -327,20 +327,24 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
     scales, strides, uses_hash = _level_constants(spec)
     b = spec.bricks_per_level
 
-    # per-(level, time-slice) gathers: keeps the live (N, 27F) gather
-    # transient bounded to one level (one big take over all levels would
-    # materialize L*S*N rows — tens of GB at the training workload)
+    # per-(level, time-slice) gathers from STATIC per-level table slices.
+    # Two measured reasons (perf/microbench.py + /tmp span test):
+    #   * bounded transients: one take over all levels would materialize
+    #     L*S*N rows — tens of GB at the training workload;
+    #   * XLA picks its gather strategy by OPERAND size: takes from the
+    #     full multi-level table run ~80M rows/s, takes from a <=33MB
+    #     static slice run ~250M rows/s — a 3x cliff.
     outs = []
     for lvl in range(spec.n_levels):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )
-        rows = tuple(r + jnp.int32(lvl * b) for r in rows)
+        level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
-        feats0 = jnp.take(table, rows[0], axis=0, mode="clip")  # (N, 27F)
+        feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")  # (N, 27F)
         f0 = _reduce_row(feats0, weights, f)  # (N, F)
         if spec.has_time:
-            feats1 = jnp.take(table, rows[1], axis=0, mode="clip")
+            feats1 = jnp.take(level_table, rows[1], axis=0, mode="clip")
             f1 = _reduce_row(feats1, weights, f)
             tw = t_frac.astype(f0.dtype)[:, None]
             f0 = f0 * (1.0 - tw) + f1 * tw
@@ -389,10 +393,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
     gl = g.reshape(-1, spec.n_levels, f).astype(jnp.float32)
 
     mode = _SCATTER_MODE()
-    if mode == "flat":
-        d_table_acc = jnp.zeros((table.size,), jnp.float32)
-    else:
-        d_table_acc = jnp.zeros(table.shape, jnp.float32)
+    d_level_tables = []  # per-level (B, 27F) fp32 grad buffers
     d_pos_parts = [jnp.zeros((n,), jnp.float32) for _ in range(d)]
     lanes = np.arange(width, dtype=np.int32)
 
@@ -400,7 +401,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )
-        rows = tuple(r + jnp.int32(lvl * b) for r in rows)
+        level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
         g_row = gl[:, lvl, :]  # (N, F)
         g_tiled = jnp.tile(g_row, (1, cpb))  # (N, 27F), corner-major blocks
@@ -408,26 +409,32 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
 
         tws = (1.0 - t_frac, t_frac) if spec.has_time else (None,)
 
-        # ---- table gradient: ONE (N, 27F)-row scatter per (level, slice) —
-        # wide-row scatter-add is the measured-fastest XLA formulation at
-        # training N (perf/microbench.py: ~52M rows/s vs 32x more narrow rows)
+        # ---- table gradient: ONE (N, 27F)-row scatter per (level, slice)
+        # into a per-level buffer — wide-row scatter-add is the measured
+        # -fastest XLA formulation at training N (perf/microbench.py:
+        # ~42-52M rows/s vs 108x more narrow rows for "flat")
+        if mode == "flat":
+            d_lvl = jnp.zeros((b * width,), jnp.float32)
+        else:
+            d_lvl = jnp.zeros((b, width), jnp.float32)
         for rset, tw in zip(rows, tws):
             upd = wrow * g_tiled  # (N, 27F)
             if tw is not None:
                 upd = upd * tw[:, None]
             if mode == "flat":
                 idx = rset[:, None] * jnp.int32(width) + lanes[None, :]
-                d_table_acc = d_table_acc.at[idx.reshape(-1)].add(
-                    upd.reshape(-1)
-                )
+                d_lvl = d_lvl.at[idx.reshape(-1)].add(upd.reshape(-1))
             else:  # wide
-                d_table_acc = d_table_acc.at[rset].add(upd)
+                d_lvl = d_lvl.at[rset].add(upd)
+        d_level_tables.append(d_lvl.reshape(b, width))
 
         if needs_pos_grad:
             # d out / d frac needs the gathered features back (frugal
             # residuals: re-gather instead of saving (N, 27F) per level)
             feats_all = [
-                jnp.take(table, rset, axis=0, mode="clip").astype(jnp.float32)
+                jnp.take(level_table, rset, axis=0, mode="clip").astype(
+                    jnp.float32
+                )
                 for rset in rows
             ]
             # gdot[:, c] = sum_f g_f * feats[:, cF+f], per time slice
@@ -464,9 +471,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
                 )).sum(axis=-1)  # (N,)
                 d_pos_parts[d - 1] = d_pos_parts[d - 1] + gsum * scales[lvl]
 
-    d_table = (
-        d_table_acc.reshape(table.shape) if mode == "flat" else d_table_acc
-    )
+    d_table = jnp.concatenate(d_level_tables, axis=0)
     d_pos = jnp.stack(d_pos_parts).T.reshape(*batch_shape, d)
     if not needs_pos_grad:
         d_pos = jnp.zeros_like(positions)

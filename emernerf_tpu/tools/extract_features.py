@@ -55,16 +55,52 @@ def extract_and_save_features(
     model_path: str = None,
     extraction_size=(644, 966),
     device: str = "cpu",
+    stride: int = 7,
+    layer: int = 11,
+    facet: str = "key",
 ):
-    """Extract per-image feature maps and save as .npy (H_p, W_p, C)."""
+    """Extract per-image feature maps and save as .npy (H_p, W_p, C).
+
+    Hub dino/dinov2 models go through :class:`ViTFeatureExtractor` —
+    reduced patch stride + re-interpolated positional embeddings +
+    intermediate-layer "key"-facet capture, matching the reference's
+    extraction (feature_extractor.py:16-83: layer 11, facet "key").
+    The transformers fallback (local checkpoint, no hub cache) keeps the
+    plain last-hidden-state path and logs that features will differ."""
     import torch
     from PIL import Image
 
     model, processor, kind = _load_model(model_type, model_path, device)
-    patch = 14 if "dinov2" in model_type else 8
     h, w = extraction_size
-    h, w = h - h % patch, w - w % patch
 
+    if kind == "hub":
+        from emernerf_tpu.tools.vit_extractor import (
+            ViTFeatureExtractor,
+            preprocess_image,
+        )
+
+        extractor = ViTFeatureExtractor(
+            model, model_type=model_type, stride=stride, device=device
+        )
+        for img_path, feat_path in zip(
+            input_img_path_list, saved_feat_path_list
+        ):
+            if os.path.exists(feat_path):
+                continue
+            os.makedirs(os.path.dirname(feat_path), exist_ok=True)
+            x = preprocess_image(img_path, (h, w), model_type).to(device)
+            feat = extractor.extract(x, layer=layer, facet=facet)[0]
+            feat = feat.cpu().numpy()
+            np.save(feat_path, feat.astype(np.float16))
+            logger.info("saved %s %s", feat_path, feat.shape)
+        return
+
+    logger.warning(
+        "Using transformers last-hidden-state features (no stride override "
+        "/ facet capture); these will NOT match reference DINO features."
+    )
+    patch = 14 if "dinov2" in model_type else 8
+    h, w = h - h % patch, w - w % patch
     for img_path, feat_path in zip(input_img_path_list, saved_feat_path_list):
         if os.path.exists(feat_path):
             continue
@@ -75,15 +111,7 @@ def extract_and_save_features(
         arr = (arr - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
         x = torch.from_numpy(arr).permute(2, 0, 1)[None].float().to(device)
         with torch.no_grad():
-            if kind == "transformers":
-                out = model(pixel_values=x).last_hidden_state[0, 1:]
-            else:
-                out = model.forward_features(x)
-                out = (
-                    out["x_norm_patchtokens"][0]
-                    if isinstance(out, dict)
-                    else out[0, 1:]
-                )
+            out = model(pixel_values=x).last_hidden_state[0, 1:]
         feat = out.reshape(h // patch, w // patch, -1).cpu().numpy()
         np.save(feat_path, feat.astype(np.float16))
         logger.info("saved %s %s", feat_path, feat.shape)
@@ -106,6 +134,12 @@ def main():
     p.add_argument("--height", type=int, default=644)
     p.add_argument("--width", type=int, default=966)
     p.add_argument("--device", default="cpu")
+    p.add_argument("--stride", type=int, default=7,
+                   help="patch-embed stride override (7 for dinov2_vitb14, "
+                        "8/4 for dino_vitb8)")
+    p.add_argument("--layer", type=int, default=11)
+    p.add_argument("--facet", default="key",
+                   choices=["key", "query", "value", "token"])
     args = p.parse_args()
 
     imgs = sorted(glob.glob(os.path.join(args.data_path, "images", "*.jpg")))
@@ -119,6 +153,7 @@ def main():
     extract_and_save_features(
         imgs, feats, args.model_type, args.model_path,
         (args.height, args.width), args.device,
+        stride=args.stride, layer=args.layer, facet=args.facet,
     )
 
 
