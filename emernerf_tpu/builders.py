@@ -138,6 +138,15 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         num_train_timesteps=dataset.num_img_timesteps,
         time_diff=dataset.time_diff,
         table_dtype=_table_dtype(cfg),
+        direction_encoding=head.get("direction_encoding", "sinusoidal"),
+        enable_temporal_interpolation=head.get(
+            "enable_temporal_interpolation", False
+        ),
+        interpolate_xyz_encoding=head.get("interpolate_xyz_encoding", True),
+        training_timesteps=tuple(
+            float(t)
+            for t in dataset.unique_normalized_training_timestamps
+        ),
     )
 
 

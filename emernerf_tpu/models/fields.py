@@ -35,7 +35,21 @@ from emernerf_tpu.ops.contraction import (
 )
 from emernerf_tpu.ops.grid import grid_encode, init_grid_table
 from emernerf_tpu.ops.interp import grid_sample_2d
+from emernerf_tpu.ops.sh import sh_encode
 from emernerf_tpu.ops.sinusoidal import sinusoidal_encode, sinusoidal_output_dim
+
+
+def find_topk_nearby_timesteps(training_timesteps, query, topk: int = 2):
+    """Per-query nearest training timesteps (reference nerf_utils.py:31-56).
+
+    training_timesteps: (T,); query: (...,). Returns (..., topk) values,
+    nearest first."""
+    diffs = jnp.abs(
+        jnp.asarray(training_timesteps)[None, :] - query.reshape(-1)[:, None]
+    )
+    _, idx = jax.lax.top_k(-diffs, topk)
+    vals = jnp.asarray(training_timesteps)[idx]
+    return vals.reshape(*query.shape, topk)
 
 
 def _table_init(spec):
@@ -103,6 +117,16 @@ class RadianceField(nn.Module):
     time_diff: float = 0.0
     pe_map_hw: Tuple[int, int] = (80, 120)
     table_dtype: jnp.dtype = jnp.float32
+    # direction encoder for the rgb/sky heads: "sinusoidal" (reference
+    # default, radiance_field.py:126-128) or "sh" (tcnn SphericalHarmonics
+    # equivalent, ops/sh.py)
+    direction_encoding: str = "sinusoidal"
+    # eval-time temporal interpolation of the flow field at the top-2
+    # nearest training timesteps (off by default; the reference enables it
+    # only for the flow branch, radiance_field.py:372-387)
+    enable_temporal_interpolation: bool = False
+    interpolate_xyz_encoding: bool = True
+    training_timesteps: Optional[Tuple[float, ...]] = None
 
     # ------------------------------------------------------------------ #
     def setup(self):
@@ -187,6 +211,13 @@ class RadianceField(nn.Module):
                 self.pe_head = Sequential64(widths=(self.feature_embedding_dim,))
 
     # ------------------------------------------------------------------ #
+    def _encode_dirs(self, directions01):
+        """Direction encoding on [0,1]-remapped directions: NeRF sinusoidal
+        PE with identity (reference default) or spherical harmonics."""
+        if self.direction_encoding == "sh":
+            return sh_encode(directions01, degree=4)
+        return sinusoidal_encode(directions01, min_deg=0, max_deg=4)
+
     @property
     def use_appearance_embedding(self) -> bool:
         return self.enable_cam_embedding or self.enable_img_embedding
@@ -232,16 +263,56 @@ class RadianceField(nn.Module):
         ).astype(jnp.float32)
         return self.dynamic_base_mlp(enc), enc
 
-    def forward_flow_hash(self, normed_positions, normed_timestamps,
-                          needs_pos_grad=False):
-        """Flow field query -> (..., 6) = (forward_flow, backward_flow)."""
+    def _flow_encode(self, normed_positions, normed_timestamps,
+                     needs_pos_grad=False):
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
-        enc = grid_encode(
+        return grid_encode(
             self.flow_table.astype(self.table_dtype), xyzt, self.flow_spec,
             needs_pos_grad=needs_pos_grad,
         ).astype(jnp.float32)
+
+    def forward_flow_hash(self, normed_positions, normed_timestamps,
+                          needs_pos_grad=False, train=True):
+        """Flow field query -> (..., 6) = (forward_flow, backward_flow).
+
+        At eval with ``enable_temporal_interpolation``, the flow encoding
+        is lerped between the two nearest TRAINING timesteps (reference
+        radiance_field.py:372-387 + nerf_utils temporal_interpolation) —
+        queries at unseen timesteps otherwise hit hash cells the field
+        never trained."""
+        if (
+            not train
+            and self.enable_temporal_interpolation
+            and self.training_timesteps
+        ):
+            ts = jnp.asarray(self.training_timesteps, jnp.float32)
+            t_ray = normed_timestamps[..., 0]  # per-ray timestep
+            near2 = find_topk_nearby_timesteps(ts, t_ray)  # (..., 2)
+            left, right = near2[..., 0], near2[..., 1]
+            denom = right - left
+            offset = jnp.where(
+                jnp.abs(denom) > 1e-8, (t_ray - left) / denom, 0.0
+            )[..., None, None]
+            expand = normed_timestamps.shape[-1]
+            left_t = jnp.repeat(left[..., None], expand, axis=-1)
+            right_t = jnp.repeat(right[..., None], expand, axis=-1)
+            enc_l = self._flow_encode(
+                normed_positions, left_t, needs_pos_grad
+            )
+            enc_r = self._flow_encode(
+                normed_positions, right_t, needs_pos_grad
+            )
+            if self.interpolate_xyz_encoding:
+                return self.flow_mlp(enc_l * (1 - offset) + enc_r * offset)
+            return (
+                self.flow_mlp(enc_l) * (1 - offset)
+                + self.flow_mlp(enc_r) * offset
+            )
+        enc = self._flow_encode(
+            normed_positions, normed_timestamps, needs_pos_grad
+        )
         return self.flow_mlp(enc)
 
     # ------------------------------------------------------------------ #
@@ -264,7 +335,7 @@ class RadianceField(nn.Module):
         (radiance_field.py:622-658)."""
         data = data or {}
         directions = (directions + 1.0) / 2.0
-        h = sinusoidal_encode(directions, min_deg=0, max_deg=4)
+        h = self._encode_dirs(directions)
         app = self._appearance(directions.shape[:-1], data)
         if app is not None:
             h = jnp.concatenate([h, app], axis=-1)
@@ -279,7 +350,9 @@ class RadianceField(nn.Module):
         """Sky color (and sky feature) from per-ray directions
         (radiance_field.py:660-686)."""
         data = data or {}
-        dd = sinusoidal_encode(directions_per_ray, min_deg=0, max_deg=4)
+        # NOTE: the reference feeds RAW directions to the sky encoder (no
+        # (d+1)/2 remap, radiance_field.py:663-666) — reproduced here
+        dd = self._encode_dirs(directions_per_ray)
         app = self._appearance(directions_per_ray.shape[:-1], data)
         if app is not None:
             dd = jnp.concatenate([dd, app], axis=-1)
@@ -324,7 +397,9 @@ class RadianceField(nn.Module):
         # batched cycle-consistency flow query at the warped points
         pos2 = jnp.stack([fwd_pos, bwd_pos])
         t2 = jnp.stack([fwd_time, bwd_time])
-        pred2 = self.forward_flow_hash(pos2, t2, needs_pos_grad=True)
+        pred2 = self.forward_flow_hash(
+            pos2, t2, needs_pos_grad=True, train=train
+        )
 
         aggregated = (cur_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
         return {
@@ -363,7 +438,7 @@ class RadianceField(nn.Module):
             if self.has_flow:
                 # the current-time dynamic query is batched INSIDE
                 # temporal_aggregation together with the two warped queries
-                flow = self.forward_flow_hash(normed_positions, t)
+                flow = self.forward_flow_hash(normed_positions, t, train=train)
                 forward_flow, backward_flow = flow[..., :3], flow[..., 3:]
                 results["forward_flow"] = forward_flow
                 results["backward_flow"] = backward_flow
@@ -455,7 +530,7 @@ class RadianceField(nn.Module):
     def query_flow(self, positions, normed_timestamps, query_density: bool = True):
         """Point query of the flow field (radiance_field.py:688-713)."""
         normed = self.contract_points(positions)
-        flow = self.forward_flow_hash(normed, normed_timestamps)
+        flow = self.forward_flow_hash(normed, normed_timestamps, train=False)
         results = {"forward_flow": flow[..., :3], "backward_flow": flow[..., 3:]}
         if query_density:
             dynamic_feats, _ = self.forward_dynamic_hash(normed, normed_timestamps)
@@ -477,7 +552,9 @@ class RadianceField(nn.Module):
         dynamic_semantic_feats = None
         if self.has_dynamic and normed_timestamps is not None:
             if self.has_flow:
-                flow = self.forward_flow_hash(normed, normed_timestamps)
+                flow = self.forward_flow_hash(
+                    normed, normed_timestamps, train=False
+                )
                 results["forward_flow"] = flow[..., :3]
                 results["backward_flow"] = flow[..., 3:]
                 agg = self.temporal_aggregation(

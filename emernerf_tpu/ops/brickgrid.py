@@ -288,16 +288,22 @@ def _weights_row(weights, f, dtype):
 def _reduce_row(feats, weights, f):
     """(N, 27F) gathered rows x 27 (N,) weights -> (N, F).
 
-    "unroll"/"tile": elementwise multiply by the lane-expanded weight row,
-    then a lane-block reduction — one fused pass over the gather output.
+    "unroll": per-corner lane-slice multiply-adds — NO (N, 27, F) reshape,
+    which XLA materializes as a second full-size relayout copy of the
+    gather output (measured 648MB per level at the training workload).
     "einsum": single contraction, lets XLA pick the layout."""
     n, w = feats.shape
     c = w // f
     if _REDUCE_MODE() == "einsum":
         w27 = jnp.stack(weights, axis=-1).astype(feats.dtype)  # (N, 27)
         return jnp.einsum("nc,ncf->nf", w27, feats.reshape(n, c, f))
-    prod = feats * _weights_row(weights, f, feats.dtype)
-    return prod.reshape(n, c, f).sum(axis=1)  # (N, F)
+    acc = None
+    for ci in range(c):
+        term = feats[:, ci * f : (ci + 1) * f] * weights[ci].astype(
+            feats.dtype
+        )[:, None]
+        acc = term if acc is None else acc + term
+    return acc  # (N, F)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -335,10 +341,19 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
     #     full multi-level table run ~80M rows/s, takes from a <=33MB
     #     static slice run ~250M rows/s — a 3x cliff.
     outs = []
+    prev = None
     for lvl in range(spec.n_levels):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )
+        if prev is not None:
+            # serialize levels: each (N, 27F) gather transient is ~hundreds
+            # of MB at training N; without an explicit ordering edge XLA
+            # schedules many levels' gathers concurrently and keeps all
+            # their outputs live at once (measured 6.5GB -> OOM)
+            rows = tuple(
+                jax.lax.optimization_barrier((r, prev))[0] for r in rows
+            )
         level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
         feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")  # (N, 27F)
@@ -349,6 +364,7 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
             tw = t_frac.astype(f0.dtype)[:, None]
             f0 = f0 * (1.0 - tw) + f1 * tw
         outs.append(f0)
+        prev = f0
     out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
     return out.reshape(*batch_shape, spec.n_output_dims), None
 
@@ -397,10 +413,16 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
     d_pos_parts = [jnp.zeros((n,), jnp.float32) for _ in range(d)]
     lanes = np.arange(width, dtype=np.int32)
 
+    prev = None
     for lvl in range(spec.n_levels):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )
+        if prev is not None:
+            # serialize levels (same liveness reasoning as the forward)
+            rows = tuple(
+                jax.lax.optimization_barrier((r, prev))[0] for r in rows
+            )
         level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
         g_row = gl[:, lvl, :]  # (N, F)
@@ -426,7 +448,9 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
                 d_lvl = d_lvl.at[idx.reshape(-1)].add(upd.reshape(-1))
             else:  # wide
                 d_lvl = d_lvl.at[rset].add(upd)
-        d_level_tables.append(d_lvl.reshape(b, width))
+        d_lvl = d_lvl.reshape(b, width)
+        d_level_tables.append(d_lvl)
+        prev = d_lvl[0]
 
         if needs_pos_grad:
             # d out / d frac needs the gathered features back (frugal

@@ -147,3 +147,77 @@ def test_appearance_embedding_mean_fallback():
     # eval without img_idx must fall back to the mean embedding, not crash
     out = model.apply({"params": params}, pos, dirs, {})
     assert out["rgb"].shape == (4, 3, 3)
+
+
+def test_find_topk_nearby_timesteps():
+    from emernerf_tpu.models.fields import find_topk_nearby_timesteps
+
+    ts = jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+    near = find_topk_nearby_timesteps(ts, jnp.asarray([0.26, 0.9]))
+    np.testing.assert_allclose(np.asarray(near[0]), [0.25, 0.5])
+    np.testing.assert_allclose(np.asarray(near[1]), [1.0, 0.75])
+
+
+def test_temporal_interpolation_flow_eval():
+    """With enable_temporal_interpolation, an eval-time flow query at an
+    off-grid timestep equals the lerp of the two nearest training-timestep
+    encodings; at a training timestep it matches the exact query."""
+    spec3 = HashGridSpec(3, 4, 8, 64, 10, 2)
+    spec4 = HashGridSpec(4, 4, 8, 64, 10, 2)
+    steps = (0.0, 0.5, 1.0)
+    kw = dict(
+        static_spec=spec3, dynamic_spec=spec4, flow_spec=spec4,
+        aabb=(-5.0, -5.0, -5.0, 5.0, 5.0, 5.0), geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0, num_train_timesteps=3, time_diff=1.0 / 3,
+    )
+    model_interp = RadianceField(
+        **kw, enable_temporal_interpolation=True, training_timesteps=steps
+    )
+    model_exact = RadianceField(**kw)
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (8, 4, 3), minval=-4, maxval=4)
+    params = model_interp.init(
+        {"params": key, "aggregation": key}, pos, jnp.ones((8, 4, 3)),
+        {"normed_timestamps": jnp.full((8, 4), 0.5)}, train=False,
+    )["params"]
+
+    def qflow(model, t):
+        return model.apply(
+            {"params": params}, method="query_flow",
+            positions=pos, normed_timestamps=jnp.full((8, 4), t),
+        )
+
+    # at a training timestep the interpolated query equals the exact one
+    f_interp = qflow(model_interp, 0.5)
+    f_exact = qflow(model_exact, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(f_interp["forward_flow"]),
+        np.asarray(f_exact["forward_flow"]), rtol=1e-5, atol=1e-6,
+    )
+    # off-grid: interpolated differs from the exact (unseen-cell) query but
+    # stays finite
+    g_interp = qflow(model_interp, 0.3)
+    g_exact = qflow(model_exact, 0.3)
+    assert np.isfinite(np.asarray(g_interp["forward_flow"])).all()
+    assert not np.allclose(
+        np.asarray(g_interp["forward_flow"]),
+        np.asarray(g_exact["forward_flow"]),
+    )
+
+
+def test_sh_direction_encoding_head():
+    spec3 = HashGridSpec(3, 4, 8, 64, 10, 2)
+    model = RadianceField(
+        static_spec=spec3, aabb=(-5.0, -5.0, -5.0, 5.0, 5.0, 5.0),
+        geometry_feature_dim=8, base_mlp_layer_width=16,
+        head_mlp_layer_width=16, semantic_feature_dim=0,
+        enable_sky_head=True, direction_encoding="sh",
+    )
+    key = jax.random.PRNGKey(0)
+    pos = jnp.zeros((4, 2, 3))
+    dirs = jnp.ones((4, 2, 3)) / np.sqrt(3.0)
+    params = model.init(key, pos, dirs, {})["params"]
+    out = model.apply({"params": params}, pos, dirs, {})
+    assert out["rgb"].shape == (4, 2, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
