@@ -352,6 +352,21 @@ class Trainer:
             ) as f:
                 json.dump(metrics, f, indent=2)
             logger.info("[%s] %s", split_name, metrics)
+            # wandb image panels for a few rendered frames
+            # (reference train_emernerf.py:960-1004)
+            if self.wandb is not None and frames:
+                panel = {}
+                stride = max(len(frames) // 3, 1)
+                for i, fr in enumerate(frames[::stride][:3]):
+                    for k in ("rgb", "gt_rgb", "depth", "dynamic_rgb"):
+                        if k in fr:
+                            img = np.asarray(fr[k], np.float32)
+                            if img.ndim == 2:
+                                img = img / max(float(img.max()), 1e-6)
+                            panel[f"{split_name}/{k}_{i}"] = self.wandb.Image(
+                                np.clip(img, 0, 1)
+                            )
+                self.wandb.log(panel, step=step)
 
         if cfg.render.render_low_res:
             _run("lowres", self.dataset.full_indices,

@@ -179,3 +179,71 @@ def test_brickgrid_dtype_bf16_table():
     )(table)
     assert gt.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(gt.astype(jnp.float32)).all())
+
+
+@pytest.mark.slow
+def test_brick_vs_hash_psnr_parity():
+    """Train the same tiny scene with exact-hash and brick backends; final
+    PSNR must be comparable (brick grids trade corner sharing across brick
+    planes for 8x fewer gathers — this guards the quality side)."""
+    from functools import partial
+
+    from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
+    from emernerf_tpu.models.fields import DensityField, RadianceField
+    from emernerf_tpu.ops.hashgrid import HashGridSpec
+    from emernerf_tpu.render.prop_sampler import proposal_requires_grad_schedule
+    from emernerf_tpu.train.step import (
+        TrainStepConfig,
+        build_train_step,
+        init_train_state,
+    )
+    from tests.test_train import _make_scene
+
+    scene_np, scene = _make_scene(dynamic=False)
+    aabb = tuple(float(v) for v in scene_np["aabb"])
+
+    def run(backend):
+        if backend == "hash":
+            spec3 = HashGridSpec(3, 6, 8, 256, 14, 2)
+            pspec = HashGridSpec(3, 4, 8, 128, 14, 1)
+        else:
+            spec3 = BrickGridSpec(3, 6, 8, 256, 11, 2)
+            pspec = BrickGridSpec(3, 4, 8, 128, 11, 1)
+        model = RadianceField(
+            static_spec=spec3, aabb=aabb, geometry_feature_dim=16,
+            base_mlp_layer_width=32, head_mlp_layer_width=32,
+            semantic_feature_dim=0, enable_img_embedding=True,
+            num_train_timesteps=scene_np["num_frames"],
+            num_cams=scene_np["num_cams"], appearance_embedding_dim=4,
+            enable_sky_head=True, time_diff=scene_np["time_diff"],
+        )
+        props = [DensityField(spec=pspec, aabb=aabb, base_mlp_layer_width=32)]
+        cfg = TrainStepConfig(
+            num_samples=16, prop_samples=(24,), use_sky_loss=True,
+            has_lidar=True, num_iters=2000, los_enable=True,
+            los_start_iter=50, lr=0.01,
+        )
+        key = jax.random.PRNGKey(0)
+        pb = sample_pixel_batch(scene, key, 256)
+        state = init_train_state(model, props, cfg, key, pb)
+        step_fn = build_train_step(model, props, cfg)
+        rg_fn = proposal_requires_grad_schedule()
+        sample_p = jax.jit(partial(sample_pixel_batch, num_rays=256))
+        sample_l = jax.jit(partial(sample_lidar_batch, num_rays=256))
+        psnrs = []
+        for i in range(60):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            state, m = step_fn(
+                state, sample_p(scene, k1), sample_l(scene, k2), k3,
+                pixel_rg=rg_fn(i), lidar_rg=rg_fn(i),
+            )
+            psnrs.append(float(m["psnr"]))
+        return np.mean(psnrs[-5:])
+
+    psnr_hash = run("hash")
+    psnr_brick = run("brick")
+    # both must train, and brick must be within 1.5 dB of the exact hash
+    assert psnr_brick > 15.0, f"brick failed to train: {psnr_brick:.2f} dB"
+    assert psnr_brick > psnr_hash - 1.5, (
+        f"brick quality gap too large: {psnr_brick:.2f} vs {psnr_hash:.2f}"
+    )
