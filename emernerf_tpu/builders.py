@@ -45,13 +45,18 @@ def make_grid_spec(
             n_features_per_level=n_features_per_level,
         )
     if backend == "brick":
+        # F=1 grids (proposal nets) use 4^3-cell bricks: the 125-corner row
+        # fills the 128-lane tile (a 27-corner F=1 row wastes 4.7x HBM on
+        # lane padding) and cell capacity per row is 64 -> log2_bricks - 6.
+        bs = 2 if n_features_per_level == 1 and n_input_dims == 3 else 1
         return BrickGridSpec(
             n_input_dims=n_input_dims,
             n_levels=n_levels,
             base_resolution=base_resolution,
             max_resolution=max_resolution,
-            log2_bricks=max(log2_hashmap_size - 3, 4),
+            log2_bricks=max(log2_hashmap_size - 3 * bs, 4),
             n_features_per_level=n_features_per_level,
+            log2_brick_size=bs,
         )
     raise ValueError(f"Unknown grid backend: {backend}")
 

@@ -124,8 +124,11 @@ def sample_pixel_batch(
         batch["normed_timestamps"] = scene.normed_timestamps[img_idx]
     if scene.sky_masks is not None:
         batch["sky_masks"] = scene.sky_masks[img_idx, y, x]
-    if scene.dynamic_masks is not None:
-        batch["dynamic_masks"] = scene.dynamic_masks[img_idx, y, x]
+    # NOTE: dynamic masks are NOT gathered into training batches — no loss
+    # consumes them on the hot path (the reference's masked dynamic-reg
+    # variant exists but is never wired at its call sites,
+    # train_emernerf.py:687-693; dynamic_regularization_loss here accepts
+    # a mask for that dormant capability).  Eval reads masks off-device.
     if scene.features is not None:
         fh, fw = scene.features.shape[1:3]
         fy = (y * (fh / h)).astype(jnp.int32)

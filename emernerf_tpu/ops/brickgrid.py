@@ -77,9 +77,19 @@ class BrickGridSpec:
     max_resolution: int = 2048
     log2_bricks: int = 16
     n_features_per_level: int = 2
+    # cells per axis inside one brick = 2^log2_brick_size (1 -> 2x2x2
+    # bricks, 27-corner rows; 2 -> 4x4x4 bricks, 125-corner rows — the
+    # latter fills the 128-lane tile exactly for F=1 proposal grids)
+    log2_brick_size: int = 1
 
-    # corners per axis inside one brick (brick = 2 cells/axis)
-    CPA: int = 3
+    @property
+    def brick_cells(self) -> int:
+        return 1 << self.log2_brick_size
+
+    @property
+    def CPA(self) -> int:
+        """Corners per axis inside one brick."""
+        return self.brick_cells + 1
 
     @property
     def spatial_dims(self) -> int:
@@ -145,9 +155,12 @@ class BrickGridSpec:
 
     @cached_property
     def brick_resolutions(self) -> np.ndarray:
-        """Bricks per axis: cell coords 0..R-1 -> brick coords 0..(R-1)>>1."""
+        """Bricks per axis: cell coord c -> brick coord c >> log2_brick_size."""
         return np.asarray(
-            [((int(r) - 1) >> 1) + 1 for r in self.level_resolutions],
+            [
+                ((int(r) - 1) >> self.log2_brick_size) + 1
+                for r in self.level_resolutions
+            ],
             dtype=np.int64,
         )
 
@@ -212,20 +225,28 @@ def _brick_rows(spec: BrickGridSpec, brick_u, t_cell_u, lvl: int,
     return (r & mask).astype(jnp.int32)
 
 
-def _axis_weights(o, f):
-    """Per-axis weights over brick-local corner positions {0, 1, 2}.
+def _axis_weights(o, f, cpa: int = 3):
+    """Per-axis weights over brick-local corner positions {0..cpa-1}.
 
-    o: (N,) float 0/1 cell offset inside the brick; f: (N,) fraction.
-    w[p] = (p == o) (1-f) + (p == o+1) f, evaluated densely:
-      w0 = (1-o)(1-f);  w1 = o(1-f) + (1-o)f;  w2 = o f
-    """
-    return ((1 - o) * (1 - f), o * (1 - f) + (1 - o) * f, o * f)
+    o: (N,) float cell offset inside the brick (0..cpa-2); f: (N,)
+    fraction.  w[p] = (p == o) (1-f) + (p == o+1) f, evaluated densely —
+    each position is the cell's lower corner, upper corner, or zero."""
+    ws = []
+    for p in range(cpa):
+        lo = jnp.where(o == p, 1.0 - f, 0.0)
+        hi = jnp.where(o == p - 1, f, 0.0)
+        ws.append(lo + hi)
+    return tuple(ws)
 
 
-def _axis_dweights(o):
-    """d(w[p])/df for the three positions (depends only on o):
-    w = ((1-o)(1-f), o(1-f) + (1-o)f, o f)."""
-    return (-(1 - o), 1 - 2 * o, o)
+def _axis_dweights(o, cpa: int = 3):
+    """d(w[p])/df per position (depends only on o)."""
+    dws = []
+    for p in range(cpa):
+        dws.append(
+            jnp.where(o == p, -1.0, 0.0) + jnp.where(o == p - 1, 1.0, 0.0)
+        )
+    return tuple(dws)
 
 
 def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
@@ -240,8 +261,9 @@ def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
     cell = [jnp.floor(p) for p in pos]
     frac = [p - c for p, c in zip(pos, cell)]
     cell_i = [c.astype(jnp.int32) for c in cell]
-    off = [(c & 1).astype(jnp.float32) for c in cell_i]
-    brick_u = [(c >> 1).astype(jnp.uint32) for c in cell_i]
+    bs = spec.log2_brick_size
+    off = [(c & (spec.brick_cells - 1)).astype(jnp.float32) for c in cell_i]
+    brick_u = [(c >> bs).astype(jnp.uint32) for c in cell_i]
 
     if spec.has_time:
         tpos = tt * scales[lvl] + 0.5
@@ -262,7 +284,7 @@ def _corner_weights(spec: BrickGridSpec, axes):
     product of the per-axis weight triples; 19 of 27 are analytically
     zero-valued but densely computed — pure VPU math, no lane selection)."""
     d = spec.spatial_dims
-    ws = [_axis_weights(o, f) for o, f in axes]  # D triples of (N,)
+    ws = [_axis_weights(o, f, spec.CPA) for o, f in axes]  # D x CPA of (N,)
     out = []
     for c in range(spec.corners_per_brick):
         idx = []
@@ -356,6 +378,9 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
             )
         level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
+        # time slices gathered SEPARATELY on purpose: merging them into one
+        # 2N take raises the gather rate ~10% but doubles the live (N, 27F)
+        # transient — measured OOM at the training workload
         feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")  # (N, 27F)
         f0 = _reduce_row(feats0, weights, f)  # (N, F)
         if spec.has_time:
@@ -439,6 +464,8 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
             d_lvl = jnp.zeros((b * width,), jnp.float32)
         else:
             d_lvl = jnp.zeros((b, width), jnp.float32)
+        # per-slice scatters (merging doubles the live fp32 update buffer
+        # — measured OOM); one wide (N, 27F)-row scatter per (level, slice)
         for rset, tw in zip(rows, tws):
             upd = wrow * g_tiled  # (N, 27F)
             if tw is not None:
@@ -473,8 +500,12 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
                 gdot = gdots[0]
             gdot_c = [gdot[:, c] for c in range(cpb)]  # 27 x (N,)
 
-            ws_per_axis = [_axis_weights(o, fr) for o, fr in axes]
-            dws_per_axis = [_axis_dweights(o) for o, _ in axes]
+            ws_per_axis = [
+                _axis_weights(o, fr, spec.CPA) for o, fr in axes
+            ]
+            dws_per_axis = [
+                _axis_dweights(o, spec.CPA) for o, _ in axes
+            ]
             for i in range(spec.spatial_dims):
                 acc = None
                 for c in range(cpb):

@@ -502,19 +502,4 @@ def _hashgrid_bwd(spec, needs_pos_grad, residuals, g):
     return d_table, d_pos
 
 
-def _prod_excl(terms):
-    """prod over the last axis excluding each element, computed stably for
-    zero entries via exclusive prefix/suffix products."""
-    d = terms.shape[-1]
-    ones = jnp.ones_like(terms[..., :1])
-    pre = jnp.concatenate(
-        [ones, jnp.cumprod(terms[..., :-1], axis=-1)], axis=-1
-    )
-    suf = jnp.concatenate(
-        [jnp.flip(jnp.cumprod(jnp.flip(terms[..., 1:], -1), axis=-1), -1), ones],
-        axis=-1,
-    )
-    return pre * suf
-
-
 hashgrid_encode.defvjp(_hashgrid_fwd, _hashgrid_bwd)

@@ -42,8 +42,8 @@ def _oracle(table, x, spec):
                 t_iters = [(None, 1.0)]
             acc = np.zeros(f)
             for t_c, t_w in t_iters:
-                brick = cell >> 1
-                o = cell & 1
+                brick = cell >> spec.log2_brick_size
+                o = cell & (spec.brick_cells - 1)
                 # row for this brick (+ time)
                 if uses_hash:
                     h = np.uint32(0)
@@ -83,9 +83,13 @@ def _oracle(table, x, spec):
 
 SPEC3 = BrickGridSpec(3, 4, 8, 64, 8, 2)
 SPEC4 = BrickGridSpec(4, 3, 8, 32, 7, 2)
+# 4x4x4-cell bricks (125-corner rows), F=1 — the proposal-grid layout
+SPEC3_B4 = BrickGridSpec(3, 3, 8, 64, 6, 1, log2_brick_size=2)
 
 
-@pytest.mark.parametrize("spec", [SPEC3, SPEC4], ids=["3d", "4d"])
+@pytest.mark.parametrize(
+    "spec", [SPEC3, SPEC4, SPEC3_B4], ids=["3d", "4d", "3d_b4"]
+)
 def test_brickgrid_matches_numpy_oracle(spec):
     key = jax.random.PRNGKey(0)
     table = init_brickgrid_table(key, spec, scale=1.0)
@@ -95,7 +99,9 @@ def test_brickgrid_matches_numpy_oracle(spec):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("spec", [SPEC3, SPEC4], ids=["3d", "4d"])
+@pytest.mark.parametrize(
+    "spec", [SPEC3, SPEC4, SPEC3_B4], ids=["3d", "4d", "3d_b4"]
+)
 def test_brickgrid_custom_vjp_matches_autodiff(spec):
     key = jax.random.PRNGKey(0)
     table = init_brickgrid_table(key, spec, scale=1.0)
