@@ -76,6 +76,35 @@ def reduce_features_pca(feats: np.ndarray, target_dim: int, sample: int = 100_00
     return reduced.reshape(n, hf, wf, target_dim), mat, fmin, fmax
 
 
+def _extract_missing_features(data_path, pix, start, end, cam_list):
+    """On-demand DINO feature extraction when maps are missing
+    (reference pixel_source.py:288-382: extracts unless
+    skip_feature_extraction)."""
+    if pix.get("skip_feature_extraction", False):
+        raise FileNotFoundError(
+            f"features missing under {data_path}/{pix.feature_model_type} "
+            "and skip_feature_extraction=True; run "
+            "emernerf_tpu.tools.extract_features first"
+        )
+    from emernerf_tpu.tools.extract_features import extract_and_save_features
+
+    imgs, feats = [], []
+    for t in range(start, end):
+        for cam in cam_list:
+            imgs.append(os.path.join(data_path, "images", f"{t:03d}_{cam}.jpg"))
+            feats.append(
+                os.path.join(
+                    data_path, pix.feature_model_type, f"{t:03d}_{cam}.npy"
+                )
+            )
+    logger.info("Extracting %d missing feature maps...", len(imgs))
+    extract_and_save_features(
+        imgs, feats, model_type=pix.feature_model_type,
+        extraction_size=tuple(pix.feature_extraction_size),
+        stride=pix.get("feature_extraction_stride", 7),
+    )
+
+
 def load_waymo_dataset(cfg: ConfigNode) -> SceneDataset:
     data_cfg = cfg.data
     pix = data_cfg.pixel_source
@@ -154,11 +183,12 @@ def load_waymo_dataset(cfg: ConfigNode) -> SceneDataset:
                     )
                 )
             if pix.load_features:
-                features.append(
-                    np.load(
-                        os.path.join(feat_dir, f"{t:03d}_{cam}.npy")
-                    ).astype(np.float32)
-                )
+                feat_path = os.path.join(feat_dir, f"{t:03d}_{cam}.npy")
+                if not os.path.exists(feat_path):
+                    _extract_missing_features(
+                        data_path, pix, start, end, cam_list
+                    )
+                features.append(np.load(feat_path).astype(np.float32))
             c2ws.append(ego_to_world @ cam_to_egos[cam])
             intrs.append(intrinsics_per_cam[cam])
             cam_ids.append(cam_list.index(cam))

@@ -71,7 +71,20 @@ def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7,
         maps.append((a1 * a2) / (b1 * b2))
     ssim_map = np.mean(np.stack(maps, axis=-1), axis=-1)
     if full:
-        return float(ssim_map.mean()), ssim_map
+        # the windowed stats only cover the 'valid' region; pad the map
+        # back to image size (edge-replicate) so callers can mask it with
+        # full-resolution masks (skimage full=True is also image-sized)
+        p0 = (pred.shape[0] - ssim_map.shape[0]) // 2
+        p1 = (pred.shape[1] - ssim_map.shape[1]) // 2
+        ssim_full = np.pad(
+            ssim_map,
+            (
+                (p0, pred.shape[0] - ssim_map.shape[0] - p0),
+                (p1, pred.shape[1] - ssim_map.shape[1] - p1),
+            ),
+            mode="edge",
+        )
+        return float(ssim_map.mean()), ssim_full
     return float(ssim_map.mean())
 
 

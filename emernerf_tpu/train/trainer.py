@@ -376,6 +376,26 @@ class Trainer:
         if cfg.render.render_full:
             _run("full", self.dataset.full_indices, 1)
 
+        # novel-trajectory rendering (a reference TODO, implemented here:
+        # SE(3)-upsampled front-cam path with a lateral sweep)
+        if cfg.render.render_novel_trajectory:
+            from emernerf_tpu.eval.novel import render_novel_trajectory
+
+            frames = render_novel_trajectory(
+                self.renderer, self.state.params, self.state.prop_params,
+                self.dataset, downscale=cfg.render.low_res_downscale,
+            )
+            save_videos(
+                frames,
+                os.path.join(video_dir, f"novel_{step}.mp4"),
+                keys=[k for k in ("rgb", "depth") if k in frames[0]],
+                num_timestamps=len(frames),
+                fps=cfg.render.fps * 2,
+                num_cams=1,
+                save_seperate_video=False,
+            )
+            logger.info("Rendered novel trajectory (%d frames)", len(frames))
+
         # lidar depth eval on a few frames
         if self.dataset.lidar is not None:
             rmses = []

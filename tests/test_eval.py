@@ -213,3 +213,58 @@ def test_data_preview_video(tmp_path):
     dataset = build_dataset_from_cfg(cfg)
     out = render_data_video(dataset, str(tmp_path / "data.mp4"), fps=2)
     assert os.path.exists(out)
+
+
+def test_novel_trajectory_generation_and_rays():
+    """Novel-path cameras interpolate the training trajectory and yield
+    well-formed rays (reference left this as a TODO,
+    train_emernerf.py:431)."""
+    from types import SimpleNamespace
+
+    from emernerf_tpu.eval.novel import (
+        _rays_for_camera,
+        generate_novel_trajectory,
+    )
+
+    n = 4
+    c2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    c2w[:, 0, 3] = np.arange(n)  # move along +x
+    ds = SimpleNamespace(
+        cam_ids=np.zeros(n, np.int32),
+        c2w=c2w,
+        intrinsics=np.tile(
+            np.array([[20.0, 0, 12], [0, 20.0, 8], [0, 0, 1]], np.float32),
+            (n, 1, 1),
+        ),
+        normed_timestamps=np.linspace(0, 1, n).astype(np.float32),
+    )
+    frames = generate_novel_trajectory(ds, upsample=2, lateral_amplitude=0.0)
+    assert len(frames) == (n - 1) * 2 + 1
+    # midpoint between frame 0 and 1 is at x = 0.5
+    np.testing.assert_allclose(frames[1]["c2w"][0, 3], 0.5, atol=1e-6)
+    # timestamps interpolate monotonically in [0, 1]
+    ts = [f["normed_timestamp"] for f in frames]
+    assert ts[0] == 0.0 and abs(ts[-1] - 1.0) < 1e-6
+    assert all(b >= a for a, b in zip(ts, ts[1:]))
+
+    rays = _rays_for_camera(
+        frames[0]["c2w"], frames[0]["intrinsics"], (8, 12),
+        frames[0]["normed_timestamp"],
+    )
+    assert rays["origins"].shape == (96, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(rays["viewdirs"], axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_ssim_full_map_matches_image_size():
+    from emernerf_tpu.eval.metrics import compute_ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.random((20, 30, 3))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    mean, smap = compute_ssim(a, b, full=True)
+    assert smap.shape == (20, 30)
+    assert np.isfinite(mean)
+    mask = rng.random((20, 30)) > 0.5
+    assert np.isfinite(smap[mask].mean())

@@ -174,6 +174,19 @@ def main(args):
     )
     trainer.evaluate()
 
+    # reclaim disk from extracted feature maps when asked
+    # (reference train_emernerf.py:1019-1020)
+    if cfg.data.pixel_source.get("delete_features_after_run", False):
+        from emernerf_tpu.tools.extract_features import delete_features
+
+        feat_dir = os.path.join(
+            getattr(trainer.dataset, "data_path", ""),
+            cfg.data.pixel_source.feature_model_type,
+        )
+        if os.path.isdir(feat_dir):
+            delete_features(feat_dir)
+            logger.info("Deleted extracted features under %s", feat_dir)
+
 
 if __name__ == "__main__":
     main(get_args_parser().parse_args())
