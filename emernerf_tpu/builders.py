@@ -57,6 +57,9 @@ def make_grid_spec(
             log2_bricks=max(log2_hashmap_size - 3 * bs, 4),
             n_features_per_level=n_features_per_level,
             log2_brick_size=bs,
+            # 4D rows store both time corners: ONE gather per (point, level)
+            # instead of two — gathers are row-rate-bound on TPU
+            time_pair=n_input_dims == 4,
         )
     raise ValueError(f"Unknown grid backend: {backend}")
 
@@ -119,11 +122,20 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         else None
     )
     flow_spec = _flow_spec(backend) if head.enable_flow_branch else None
+    # fuse the dynamic + flow grids into one F=8 table by default on the
+    # brick backend (halves 4D gather/scatter rows — the dominant train
+    # cost); the exact-hash backend keeps the reference's separate grids
+    fuse_flow = bool(
+        model_cfg.get("fuse_flow_grid", backend == "brick")
+        and dynamic_spec is not None
+        and flow_spec is not None
+    )
 
     return RadianceField(
         static_spec=_enc_spec(model_cfg.xyz_encoder, backend),
         dynamic_spec=dynamic_spec,
         flow_spec=flow_spec,
+        fuse_flow_grid=fuse_flow,
         aabb=tuple(float(v) for v in dataset.aabb),
         unbounded=cfg.nerf.unbounded,
         geometry_feature_dim=model_cfg.neck.geometry_feature_dim,

@@ -50,11 +50,18 @@ def compute_ssim(pred, gt, data_range: float = 1.0, win_size: int = 7,
     gt = np.asarray(gt, np.float64)
     if pred.ndim == 2:
         pred, gt = pred[..., None], gt[..., None]
+    # images smaller than the window (tiny debug renders): shrink the
+    # window to the largest odd size that fits, so the valid map is
+    # non-empty (skimage raises here; we degrade gracefully)
+    win_size = min(win_size, pred.shape[0], pred.shape[1])
+    if win_size % 2 == 0:
+        win_size -= 1
+    win_size = max(win_size, 1)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     # skimage's filter normalization: unbiased covariance (N/(N-1))
     npts = win_size * win_size
-    cov_norm = npts / (npts - 1)
+    cov_norm = npts / (npts - 1) if npts > 1 else 1.0
     maps = []
     for c in range(pred.shape[-1]):
         x, y = pred[..., c], gt[..., c]

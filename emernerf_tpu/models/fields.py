@@ -97,6 +97,16 @@ class RadianceField(nn.Module):
     static_spec: object  # HashGridSpec | BrickGridSpec
     dynamic_spec: object = None
     flow_spec: object = None
+    # fuse the dynamic and flow grids into ONE table with
+    # F = dyn_F + flow_F features per level (dyn = lanes [:dyn_F], flow =
+    # lanes [dyn_F:]): every 4D query site needs both fields at the same
+    # (position, time), so fusing halves the gather/scatter row count —
+    # the dominant cost on TPU (gathers are row-rate/bandwidth-bound,
+    # perf/bench_gather_widths.py).  The fused grid uses the dynamic
+    # spec's level scales (the flow field gets the dynamic grid's finer
+    # resolution instead of the reference's hardcoded base 16 / max 4096,
+    # radiance_field.py:916-923 — strictly more capacity).
+    fuse_flow_grid: bool = False
     aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
     unbounded: bool = True
     geometry_feature_dim: int = 64
@@ -137,17 +147,33 @@ class RadianceField(nn.Module):
         self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, gf + sf))
 
         if self.dynamic_spec is not None:
-            self.dynamic_table = self.param(
-                "dynamic_table", _table_init(self.dynamic_spec)
-            )
+            if self.fused:
+                import dataclasses as _dc
+
+                fused_spec = _dc.replace(
+                    self.dynamic_spec,
+                    n_features_per_level=(
+                        self.dynamic_spec.n_features_per_level
+                        + self.flow_spec.n_features_per_level
+                    ),
+                )
+                self.dynflow_spec = fused_spec
+                self.dynflow_table = self.param(
+                    "dynflow_table", _table_init(fused_spec)
+                )
+            else:
+                self.dynamic_table = self.param(
+                    "dynamic_table", _table_init(self.dynamic_spec)
+                )
             self.dynamic_base_mlp = Sequential64(
                 widths=(self.base_mlp_layer_width, gf + sf)
             )
 
         if self.flow_spec is not None:
-            self.flow_table = self.param(
-                "flow_table", _table_init(self.flow_spec)
-            )
+            if not self.fused:
+                self.flow_table = self.param(
+                    "flow_table", _table_init(self.flow_spec)
+                )
             # 3 layers of base width -> 6 (fwd + bwd flow), no final activation
             self.flow_mlp = Sequential64(
                 widths=(self.base_mlp_layer_width, self.base_mlp_layer_width, 6)
@@ -230,6 +256,14 @@ class RadianceField(nn.Module):
     def has_flow(self) -> bool:
         return self.flow_spec is not None
 
+    @property
+    def fused(self) -> bool:
+        return (
+            self.fuse_flow_grid
+            and self.dynamic_spec is not None
+            and self.flow_spec is not None
+        )
+
     # ------------------------------------------------------------------ #
     def contract_points(self, positions):
         """World -> [0,1]^3, out-of-box points zeroed (radiance_field.py:278-300)."""
@@ -249,11 +283,38 @@ class RadianceField(nn.Module):
         )
         return self.base_mlp(enc.astype(jnp.float32)), normed
 
+    def _dynflow_encode(self, normed_positions, normed_timestamps,
+                        needs_pos_grad=False):
+        """ONE fused grid query -> (dynamic_enc (..., L*dyn_F),
+        flow_enc (..., L*flow_F)).  Both fields live in the same table
+        rows (dyn = level-lanes [:dyn_F], flow = [dyn_F:]), so every 4D
+        query site pays one gather instead of two."""
+        xyzt = jnp.concatenate(
+            [normed_positions, normed_timestamps[..., None]], axis=-1
+        )
+        enc = grid_encode(
+            self.dynflow_table.astype(self.table_dtype), xyzt,
+            self.dynflow_spec, needs_pos_grad=needs_pos_grad,
+        ).astype(jnp.float32)
+        df = self.dynamic_spec.n_features_per_level
+        ff = self.flow_spec.n_features_per_level
+        lvls = self.dynflow_spec.n_levels
+        lead = enc.shape[:-1]
+        e = enc.reshape(*lead, lvls, df + ff)
+        dyn = e[..., :df].reshape(*lead, lvls * df)
+        flw = e[..., df:].reshape(*lead, lvls * ff)
+        return dyn, flw
+
     def forward_dynamic_hash(self, normed_positions, normed_timestamps,
                              needs_pos_grad=False):
         """4D (xyz, t) hash encode + dynamic base MLP. Returns (feats, enc).
         ``needs_pos_grad`` is True only for flow-warped queries (their
         positions depend on the flow field)."""
+        if self.fused:
+            enc, _ = self._dynflow_encode(
+                normed_positions, normed_timestamps, needs_pos_grad
+            )
+            return self.dynamic_base_mlp(enc), enc
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
@@ -265,6 +326,11 @@ class RadianceField(nn.Module):
 
     def _flow_encode(self, normed_positions, normed_timestamps,
                      needs_pos_grad=False):
+        if self.fused:
+            _, flw = self._dynflow_encode(
+                normed_positions, normed_timestamps, needs_pos_grad
+            )
+            return flw
         xyzt = jnp.concatenate(
             [normed_positions, normed_timestamps[..., None]], axis=-1
         )
@@ -363,16 +429,18 @@ class RadianceField(nn.Module):
 
     def temporal_aggregation(
         self, positions, normed_positions, normed_timestamps, forward_flow,
-        backward_flow, train: bool,
+        backward_flow, train: bool, cur_feats=None,
     ):
         """Scene-flow-warped feature aggregation, Eq. (8)
         (radiance_field.py:553-620). Re-queries the dynamic field at the
         +/- flow-warped positions and the flow field for cycle consistency.
 
-        TPU shape note: the current + two warped dynamic queries are ONE
-        batched 3N encode, and the two warped flow queries ONE 2N encode —
-        larger gathers run at measurably higher row rates
-        (perf/microbench.py) and the per-query weight math amortizes."""
+        TPU shape notes: with the fused dyn+flow grid, ``cur_feats`` (the
+        current-time dynamic features) comes from the caller's fused query
+        and the two warped points are ONE batched 2N fused encode — one
+        gather per (point, level) covers dynamic features AND cycle flow.
+        Unfused, the current + two warped dynamic queries are ONE batched
+        3N encode and the two warped flow queries ONE 2N encode."""
         if train:
             noise = jax.random.uniform(
                 self.make_rng("aggregation"), (*forward_flow.shape[:-1], 1)
@@ -386,20 +454,28 @@ class RadianceField(nn.Module):
         fwd_time = jnp.clip(normed_timestamps + self.time_diff * noise_t, 0.0, 1.0)
         bwd_time = jnp.clip(normed_timestamps - self.time_diff * noise_t, 0.0, 1.0)
 
-        # batched dynamic query: (cur, +warp, -warp) stacked on axis 0.
-        # warped positions depend on the flow field, so the whole batch
-        # takes position grads (the cur slice's extra d/dpos is unused).
-        pos3 = jnp.stack([normed_positions, fwd_pos, bwd_pos])
-        t3 = jnp.stack([normed_timestamps, fwd_time, bwd_time])
-        feats3, _ = self.forward_dynamic_hash(pos3, t3, needs_pos_grad=True)
-        cur_feats, fwd_feats, bwd_feats = feats3[0], feats3[1], feats3[2]
-
-        # batched cycle-consistency flow query at the warped points
         pos2 = jnp.stack([fwd_pos, bwd_pos])
         t2 = jnp.stack([fwd_time, bwd_time])
-        pred2 = self.forward_flow_hash(
-            pos2, t2, needs_pos_grad=True, train=train
-        )
+        if self.fused and cur_feats is not None:
+            # warped positions depend on the flow field -> position grads
+            dyn2, flow2 = self._dynflow_encode(pos2, t2, needs_pos_grad=True)
+            feats2 = self.dynamic_base_mlp(dyn2)
+            fwd_feats, bwd_feats = feats2[0], feats2[1]
+            pred2 = self.flow_mlp(flow2)
+        else:
+            # batched dynamic query: (cur, +warp, -warp) stacked on axis 0.
+            # warped positions depend on the flow field, so the whole batch
+            # takes position grads (the cur slice's extra d/dpos is unused).
+            pos3 = jnp.stack([normed_positions, fwd_pos, bwd_pos])
+            t3 = jnp.stack([normed_timestamps, fwd_time, bwd_time])
+            feats3, _ = self.forward_dynamic_hash(
+                pos3, t3, needs_pos_grad=True
+            )
+            cur_feats, fwd_feats, bwd_feats = feats3[0], feats3[1], feats3[2]
+            # batched cycle-consistency flow query at the warped points
+            pred2 = self.forward_flow_hash(
+                pos2, t2, needs_pos_grad=True, train=train
+            )
 
         aggregated = (cur_feats + 0.5 * fwd_feats + 0.5 * bwd_feats) / 2.0
         return {
@@ -436,15 +512,37 @@ class RadianceField(nn.Module):
         if self.has_dynamic and has_timestamps:
             t = data["normed_timestamps"]
             if self.has_flow:
-                # the current-time dynamic query is batched INSIDE
-                # temporal_aggregation together with the two warped queries
-                flow = self.forward_flow_hash(normed_positions, t, train=train)
+                cur_feats = None
+                if self.fused:
+                    # ONE fused query yields the current-time dynamic
+                    # features AND the flow encoding
+                    dyn_enc, flow_enc = self._dynflow_encode(
+                        normed_positions, t
+                    )
+                    cur_feats = self.dynamic_base_mlp(dyn_enc)
+                    use_interp = (
+                        not train
+                        and self.enable_temporal_interpolation
+                        and self.training_timesteps
+                    )
+                    if use_interp:
+                        flow = self.forward_flow_hash(
+                            normed_positions, t, train=train
+                        )
+                    else:
+                        flow = self.flow_mlp(flow_enc)
+                else:
+                    # the current-time dynamic query is batched INSIDE
+                    # temporal_aggregation with the two warped queries
+                    flow = self.forward_flow_hash(
+                        normed_positions, t, train=train
+                    )
                 forward_flow, backward_flow = flow[..., :3], flow[..., 3:]
                 results["forward_flow"] = forward_flow
                 results["backward_flow"] = backward_flow
                 agg = self.temporal_aggregation(
                     positions, normed_positions, t, forward_flow,
-                    backward_flow, train=train,
+                    backward_flow, train=train, cur_feats=cur_feats,
                 )
                 dynamic_feats = agg.pop("dynamic_feats")
                 results.update(agg)

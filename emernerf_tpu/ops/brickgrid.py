@@ -17,19 +17,29 @@ Trilinear interpolation becomes a FACTORIZED weighting over the 27 brick
 corners: per axis the weight over local positions {0,1,2} is
   w[p] = (p == o) * (1-f) + (p == o+1) * f
 and W27 = wx ⊗ wy ⊗ wz (8 nonzero of 27) — all dense vector math, no
-per-point lane selection.  4D (space-time) grids brick space only and
-gather TWO rows (t and t+1), lerped by the time fraction: 2 rows per
-(point, level) instead of 16.
+per-point lane selection.  4D (space-time) grids brick space only; by
+default (``time_pair=True`` from the builders) a row additionally stores
+BOTH time corners (t and t+1) of its time cell side by side, so a 4D
+query is ONE 2x27F-lane gather instead of two 27F gathers — gathers are
+row-rate-bound, so halving rows ~halves the encode (and its backward
+scatter).  With ``time_pair=False`` 4D gathers two rows (t and t+1) and
+lerps.
 
-The cost is parameter duplication (27/8 per cell) and C0 continuity only
-within bricks (field kinks at brick planes) — quality must be checked
-against the exact hash on a synthetic scene (tests/test_brickgrid.py and
-the PSNR-parity bench).
+The cost is parameter duplication (27/8 per cell spatially, 2x in time
+for pair rows) and C0 continuity only within bricks (field kinks at brick
+planes / time-cell boundaries) — quality must be checked against the
+exact hash on a synthetic scene (tests/test_brickgrid.py and the
+PSNR-parity bench).
 
-Backward: custom VJP recomputes indices/weights (frugal residuals, like
-ops/hashgrid.py) and scatters table grads in one of several measured
-formulations (EMERNERF_SCATTER): "flat" narrow per-corner scatters into the
-flattened table, or "wide" whole-row scatter-adds.
+Backward: custom VJP recomputes indices/weights and scatters table grads
+in one of several measured formulations (EMERNERF_SCATTER): "flat" narrow
+per-corner scatters into the flattened table, or "wide" whole-row
+scatter-adds.  Position gradients (needed only for flow-warped queries)
+use forward-saved per-axis reductions by default (EMERNERF_POSGRAD=fwd:
+(N, L, (D+1)F) residuals written once in the forward — ~1.5ms of HBM
+traffic) instead of re-gathering every row in the backward
+(EMERNERF_POSGRAD=regather: ~42M extra rows/step at the reference
+workload).
 """
 
 from __future__ import annotations
@@ -59,6 +69,15 @@ def _REDUCE_MODE() -> str:
     return os.environ.get("EMERNERF_REDUCE", "unroll")
 
 
+def _POSGRAD_MODE() -> str:
+    """Position-gradient formulation: "fwd" saves per-axis weighted feature
+    reductions from the forward pass (small residuals, no backward
+    re-gather); "regather" recomputes them in the backward by re-gathering
+    table rows (frugal residuals, 42M extra rows/step at the reference
+    workload)."""
+    return os.environ.get("EMERNERF_POSGRAD", "fwd")
+
+
 @dataclass(frozen=True)
 class BrickGridSpec:
     """Static description of a brick-grid encoder.
@@ -81,6 +100,10 @@ class BrickGridSpec:
     # bricks, 27-corner rows; 2 -> 4x4x4 bricks, 125-corner rows — the
     # latter fills the 128-lane tile exactly for F=1 proposal grids)
     log2_brick_size: int = 1
+    # 4D only: store both time corners (t, t+1) of a time cell in one row
+    # (2x row width, 2x parameters) so each (point, level) query is ONE
+    # gather instead of two — gathers are row-rate-bound on TPU
+    time_pair: bool = False
 
     @property
     def brick_cells(self) -> int:
@@ -104,8 +127,13 @@ class BrickGridSpec:
         return self.CPA ** self.spatial_dims  # 27 (3D) / 27 (4D, space only)
 
     @property
+    def uses_time_pair(self) -> bool:
+        return self.has_time and self.time_pair
+
+    @property
     def row_width(self) -> int:
-        return self.corners_per_brick * self.n_features_per_level
+        w = self.corners_per_brick * self.n_features_per_level
+        return 2 * w if self.uses_time_pair else w
 
     @property
     def bricks_per_level(self) -> int:
@@ -271,6 +299,9 @@ def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
         t_frac = tpos - t_cell
         t_u = t_cell.astype(jnp.int32).astype(jnp.uint32)
         rows0 = _brick_rows(spec, brick_u, t_u, lvl, strides, uses_hash)
+        if spec.uses_time_pair:
+            # one row holds both time corners of the cell
+            return (rows0,), list(zip(off, frac)), t_frac
         rows1 = _brick_rows(
             spec, brick_u, t_u + jnp.uint32(1), lvl, strides, uses_hash
         )
@@ -296,6 +327,24 @@ def _corner_weights(spec: BrickGridSpec, axes):
         w = ws[0][idx[0]]
         for i in range(1, d):
             w = w * ws[i][idx[i]]
+        out.append(w)
+    return out
+
+
+def _corner_dweights(spec: BrickGridSpec, axes, axis_i: int):
+    """27 corner weight derivatives d(W_c)/d(frac_{axis_i}) as (N,) arrays:
+    dW_c/df_i = dw_i[dig_i] * prod_{j!=i} w_j[dig_j]."""
+    d = spec.spatial_dims
+    ws = [_axis_weights(o, f, spec.CPA) for o, f in axes]
+    dws = _axis_dweights(axes[axis_i][0], spec.CPA)
+    out = []
+    for c in range(spec.corners_per_brick):
+        digs = _corner_digits(spec, c)
+        w = dws[digs[axis_i]]
+        for j in range(d):
+            if j == axis_i:
+                continue
+            w = w * ws[j][digs[j]]
         out.append(w)
     return out
 
@@ -344,7 +393,12 @@ def brickgrid_encode(
     return out
 
 
-def _encode_impl(table, positions, spec: BrickGridSpec):
+def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
+    """Returns (features, aux). ``aux`` (only when ``want_aux``) is a tuple
+    of per-level (N, G, F) arrays holding the forward-saved position
+    -gradient reductions: per spatial axis i, sum_c dW_c/df_i * feats_c
+    (time-lerped), plus (f1 - f0) for the time axis — each pre-scaled by
+    the level scale, so the backward is just (aux * g).sum per axis."""
     d = spec.n_input_dims
     f = spec.n_features_per_level
     batch_shape = positions.shape[:-1]
@@ -354,6 +408,7 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
     tt = x[spec.spatial_dims] if spec.has_time else None
     scales, strides, uses_hash = _level_constants(spec)
     b = spec.bricks_per_level
+    half = spec.corners_per_brick * f
 
     # per-(level, time-slice) gathers from STATIC per-level table slices.
     # Two measured reasons (perf/microbench.py + /tmp span test):
@@ -363,6 +418,7 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
     #     full multi-level table run ~80M rows/s, takes from a <=33MB
     #     static slice run ~250M rows/s — a 3x cliff.
     outs = []
+    auxs = [] if want_aux else None
     prev = None
     for lvl in range(spec.n_levels):
         rows, axes, t_frac = _level_geometry(
@@ -378,20 +434,48 @@ def _encode_impl(table, positions, spec: BrickGridSpec):
             )
         level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
         weights = _corner_weights(spec, axes)
-        # time slices gathered SEPARATELY on purpose: merging them into one
-        # 2N take raises the gather rate ~10% but doubles the live (N, 27F)
-        # transient — measured OOM at the training workload
-        feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")  # (N, 27F)
-        f0 = _reduce_row(feats0, weights, f)  # (N, F)
-        if spec.has_time:
-            feats1 = jnp.take(level_table, rows[1], axis=0, mode="clip")
-            f1 = _reduce_row(feats1, weights, f)
+        tw = None
+        if spec.uses_time_pair:
+            # ONE (N, 2*27F)-row gather: both time corners in the row
+            feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")
+            lo, hi = feats0[:, :half], feats0[:, half:]
+            f0 = _reduce_row(lo, weights, f)
+            f1 = _reduce_row(hi, weights, f)
             tw = t_frac.astype(f0.dtype)[:, None]
-            f0 = f0 * (1.0 - tw) + f1 * tw
-        outs.append(f0)
-        prev = f0
+            out_l = f0 * (1.0 - tw) + f1 * tw
+        else:
+            # time slices gathered SEPARATELY on purpose: merging them into
+            # one 2N take raises the gather rate ~10% but doubles the live
+            # (N, 27F) transient — measured OOM at the training workload
+            lo = jnp.take(level_table, rows[0], axis=0, mode="clip")
+            f0 = _reduce_row(lo, weights, f)  # (N, F)
+            f1 = hi = None
+            out_l = f0
+            if spec.has_time:
+                hi = jnp.take(level_table, rows[1], axis=0, mode="clip")
+                f1 = _reduce_row(hi, weights, f)
+                tw = t_frac.astype(f0.dtype)[:, None]
+                out_l = f0 * (1.0 - tw) + f1 * tw
+        if want_aux:
+            # lerped corner rows for the spatial derivative reductions;
+            # fused into the dweight reduces below (no extra gather)
+            if spec.has_time:
+                feats_lerp = lo * (1.0 - tw) + hi * tw
+            else:
+                feats_lerp = lo
+            sc = jnp.asarray(scales[lvl], out_l.dtype)
+            parts = []
+            for i in range(spec.spatial_dims):
+                dw = _corner_dweights(spec, axes, i)
+                parts.append(_reduce_row(feats_lerp, dw, f) * sc)
+            if spec.has_time:
+                parts.append((f1 - f0) * sc)
+            auxs.append(jnp.stack(parts, axis=1))  # (N, G, F)
+        outs.append(out_l)
+        prev = out_l
     out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
-    return out.reshape(*batch_shape, spec.n_output_dims), None
+    aux = tuple(auxs) if want_aux else None
+    return out.reshape(*batch_shape, spec.n_output_dims), aux
 
 
 def brickgrid_encode_ref(table, positions, spec: BrickGridSpec):
@@ -410,14 +494,13 @@ def _corner_digits(spec: BrickGridSpec, c: int):
 
 
 def _brickgrid_fwd(table, positions, spec, needs_pos_grad):
-    return brickgrid_encode(table, positions, spec, needs_pos_grad), (
-        table,
-        positions,
-    )
+    want_aux = needs_pos_grad and _POSGRAD_MODE() == "fwd"
+    out, aux = _encode_impl(table, positions, spec, want_aux=want_aux)
+    return out, (table, positions, aux)
 
 
 def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
-    table, positions = residuals
+    table, positions, aux = residuals
     d = spec.n_input_dims
     f = spec.n_features_per_level
     batch_shape = positions.shape[:-1]
@@ -464,12 +547,23 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
             d_lvl = jnp.zeros((b * width,), jnp.float32)
         else:
             d_lvl = jnp.zeros((b, width), jnp.float32)
-        # per-slice scatters (merging doubles the live fp32 update buffer
-        # — measured OOM); one wide (N, 27F)-row scatter per (level, slice)
-        for rset, tw in zip(rows, tws):
-            upd = wrow * g_tiled  # (N, 27F)
-            if tw is not None:
-                upd = upd * tw[:, None]
+        if spec.uses_time_pair:
+            # ONE (N, 2*27F)-row scatter: both time corners' updates side
+            # by side, matching the paired row layout
+            upd_h = wrow * g_tiled  # (N, 27F)
+            upds = [jnp.concatenate(
+                [upd_h * tws[0][:, None], upd_h * tws[1][:, None]], axis=1
+            )]
+        else:
+            # per-slice scatters (merging doubles the live fp32 update
+            # buffer — measured OOM); one wide row scatter per slice
+            upds = []
+            for tw in tws:
+                upd = wrow * g_tiled  # (N, 27F)
+                if tw is not None:
+                    upd = upd * tw[:, None]
+                upds.append(upd)
+        for rset, upd in zip(rows, upds):
             if mode == "flat":
                 idx = rset[:, None] * jnp.int32(width) + lanes[None, :]
                 d_lvl = d_lvl.at[idx.reshape(-1)].add(upd.reshape(-1))
@@ -479,7 +573,13 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
         d_level_tables.append(d_lvl)
         prev = d_lvl[0]
 
-        if needs_pos_grad:
+        if needs_pos_grad and aux is not None:
+            # fast path: forward-saved per-axis reductions (pre-scaled)
+            aux_l = aux[lvl].astype(jnp.float32)  # (N, G, F)
+            gd = (aux_l * g_row[:, None, :]).sum(axis=-1)  # (N, G)
+            for i in range(d):
+                d_pos_parts[i] = d_pos_parts[i] + gd[:, i]
+        elif needs_pos_grad:
             # d out / d frac needs the gathered features back (frugal
             # residuals: re-gather instead of saving (N, 27F) per level)
             feats_all = [
@@ -490,33 +590,29 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
             ]
             # gdot[:, c] = sum_f g_f * feats[:, cF+f], per time slice
             gdots = []
-            for feats in feats_all:
-                gdots.append(
-                    (feats * g_tiled).reshape(n, cpb, f).sum(axis=-1)
-                )  # (N, 27)
+            if spec.uses_time_pair:
+                half = cpb * f
+                feats_pair = feats_all[0]
+                for part in (feats_pair[:, :half], feats_pair[:, half:]):
+                    gdots.append(
+                        (part * g_tiled).reshape(n, cpb, f).sum(axis=-1)
+                    )
+            else:
+                for feats in feats_all:
+                    gdots.append(
+                        (feats * g_tiled).reshape(n, cpb, f).sum(axis=-1)
+                    )  # (N, 27)
             if spec.has_time:
                 gdot = gdots[0] * tws[0][:, None] + gdots[1] * tws[1][:, None]
             else:
                 gdot = gdots[0]
             gdot_c = [gdot[:, c] for c in range(cpb)]  # 27 x (N,)
 
-            ws_per_axis = [
-                _axis_weights(o, fr, spec.CPA) for o, fr in axes
-            ]
-            dws_per_axis = [
-                _axis_dweights(o, spec.CPA) for o, _ in axes
-            ]
             for i in range(spec.spatial_dims):
+                dw_c = _corner_dweights(spec, axes, i)
                 acc = None
                 for c in range(cpb):
-                    digs = _corner_digits(spec, c)
-                    # dW_c/df_i = dw_i[dig_i] * prod_{j!=i} w_j[dig_j]
-                    dw = dws_per_axis[i][digs[i]]
-                    for j in range(spec.spatial_dims):
-                        if j == i:
-                            continue
-                        dw = dw * ws_per_axis[j][digs[j]]
-                    contrib = gdot_c[c] * dw
+                    contrib = gdot_c[c] * dw_c[c]
                     acc = contrib if acc is None else acc + contrib
                 d_pos_parts[i] = d_pos_parts[i] + acc * scales[lvl]
             if spec.has_time:

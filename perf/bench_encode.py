@@ -94,6 +94,8 @@ def main():
     # dynamic/flow-scale 4D: 10 levels, F=4, 2^18 hash / 2^15 bricks
     hs4 = HashGridSpec(4, 10, 32, 8192, 18, 4)
     bs4 = BrickGridSpec(4, 10, 32, 8192, 15, 4)
+    # production 4D layout: time-paired rows, one gather per (point, level)
+    bs4tp = BrickGridSpec(4, 10, 32, 8192, 15, 4, time_pair=True)
 
     for dtype_name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         cases += [
@@ -105,6 +107,9 @@ def main():
              init_hashgrid_table(key, hs4, dtype), x4, hs4, True),
             (f"brick4d L10 F4 2^15 {dtype_name} posgrad", brickgrid_encode,
              init_brickgrid_table(key, bs4, dtype), x4, bs4, True),
+            (f"brick4d-tpair L10 F4 2^15 {dtype_name} posgrad",
+             brickgrid_encode,
+             init_brickgrid_table(key, bs4tp, dtype), x4, bs4tp, True),
         ]
 
     for name, enc, table, x, spec, npg in cases:

@@ -37,11 +37,16 @@ def _oracle(table, x, spec):
                 tpos = x[p, 3] * scale + 0.5
                 t_cell = int(np.floor(tpos))
                 t_frac = tpos - t_cell
-                t_iters = [(t_cell, 1 - t_frac), (t_cell + 1, t_frac)]
+                if spec.time_pair:
+                    # one row per time cell holds both time corners:
+                    # half 0 = corner t, half 1 = corner t+1
+                    t_iters = [(t_cell, 1 - t_frac, 0), (t_cell, t_frac, 1)]
+                else:
+                    t_iters = [(t_cell, 1 - t_frac, 0), (t_cell + 1, t_frac, 0)]
             else:
-                t_iters = [(None, 1.0)]
+                t_iters = [(None, 1.0, 0)]
             acc = np.zeros(f)
-            for t_c, t_w in t_iters:
+            for t_c, t_w, t_half in t_iters:
                 brick = cell >> spec.log2_brick_size
                 o = cell & (spec.brick_cells - 1)
                 # row for this brick (+ time)
@@ -66,6 +71,7 @@ def _oracle(table, x, spec):
                         row += int(t_c) * int(bres[lvl]) ** d_sp
                     row &= spec.bricks_per_level - 1
                 row += lvl * spec.bricks_per_level
+                half_off = t_half * spec.corners_per_brick * f
                 for c in range(1 << d_sp):
                     w = t_w
                     lane_digits = []
@@ -76,7 +82,9 @@ def _oracle(table, x, spec):
                     lane = 0
                     for i in reversed(range(d_sp)):
                         lane = lane * spec.CPA + lane_digits[i]
-                    acc += w * table[row, lane * f : (lane + 1) * f]
+                    acc += w * table[
+                        row, half_off + lane * f : half_off + (lane + 1) * f
+                    ]
             out[p, lvl * f : (lvl + 1) * f] = acc
     return out
 
@@ -85,11 +93,14 @@ SPEC3 = BrickGridSpec(3, 4, 8, 64, 8, 2)
 SPEC4 = BrickGridSpec(4, 3, 8, 32, 7, 2)
 # 4x4x4-cell bricks (125-corner rows), F=1 — the proposal-grid layout
 SPEC3_B4 = BrickGridSpec(3, 3, 8, 64, 6, 1, log2_brick_size=2)
+# time-paired 4D rows (production 4D layout): one gather per (point, level)
+SPEC4_TP = BrickGridSpec(4, 3, 8, 32, 7, 2, time_pair=True)
+
+ALL_SPECS = [SPEC3, SPEC4, SPEC3_B4, SPEC4_TP]
+ALL_IDS = ["3d", "4d", "3d_b4", "4d_tpair"]
 
 
-@pytest.mark.parametrize(
-    "spec", [SPEC3, SPEC4, SPEC3_B4], ids=["3d", "4d", "3d_b4"]
-)
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=ALL_IDS)
 def test_brickgrid_matches_numpy_oracle(spec):
     key = jax.random.PRNGKey(0)
     table = init_brickgrid_table(key, spec, scale=1.0)
@@ -99,10 +110,11 @@ def test_brickgrid_matches_numpy_oracle(spec):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize(
-    "spec", [SPEC3, SPEC4, SPEC3_B4], ids=["3d", "4d", "3d_b4"]
-)
-def test_brickgrid_custom_vjp_matches_autodiff(spec):
+@pytest.mark.parametrize("posgrad_mode", ["fwd", "regather"])
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=ALL_IDS)
+def test_brickgrid_custom_vjp_matches_autodiff(spec, posgrad_mode,
+                                               monkeypatch):
+    monkeypatch.setenv("EMERNERF_POSGRAD", posgrad_mode)
     key = jax.random.PRNGKey(0)
     table = init_brickgrid_table(key, spec, scale=1.0)
     x = jax.random.uniform(

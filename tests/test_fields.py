@@ -105,6 +105,66 @@ def test_flow_field_temporal_aggregation():
     assert out_eval["density"].shape == (4, 3)
 
 
+def test_fused_dynflow_grid_matches_interfaces():
+    """fuse_flow_grid=True stores dynamic + flow in ONE table; the model
+    must expose the exact same output surface, produce finite grads into
+    the fused table, and query_flow/query_attributes must keep working."""
+    from emernerf_tpu.ops.brickgrid import BrickGridSpec
+
+    b4 = BrickGridSpec(4, 4, 4, 32, 7, 2, time_pair=True)
+    b3 = BrickGridSpec(3, 4, 4, 32, 8, 2)
+    model = _mk_static(
+        static_spec=b3, dynamic_spec=b4, flow_spec=b4, time_diff=0.1,
+        fuse_flow_grid=True,
+    )
+    pos = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 3))
+    dirs = jnp.ones((4, 3, 3)) / jnp.sqrt(3.0)
+    data = {
+        "normed_timestamps": jnp.full((4, 3), 0.5),
+        "img_idx": jnp.zeros((4, 3), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), pos, dirs, data)
+    params = variables["params"]
+    assert "dynflow_table" in params
+    assert "dynamic_table" not in params and "flow_table" not in params
+
+    out = model.apply(
+        {"params": params}, pos, dirs, data, train=True,
+        rngs={"aggregation": jax.random.PRNGKey(7)},
+    )
+    for k in (
+        "forward_flow", "backward_flow",
+        "forward_pred_backward_flow", "backward_pred_forward_flow",
+    ):
+        assert out[k].shape == (4, 3, 3), k
+
+    # grads reach the fused table through flow warping + density
+    def loss(p):
+        o = model.apply(
+            {"params": p}, pos, dirs, data, train=True,
+            rngs={"aggregation": jax.random.PRNGKey(7)},
+        )
+        return (
+            o["density"].sum()
+            + (o["forward_flow"] ** 2).sum()
+            + (o["forward_pred_backward_flow"] ** 2).sum()
+        )
+
+    g = jax.grad(loss)(params)
+    gt = np.asarray(g["dynflow_table"])
+    assert np.isfinite(gt).all() and np.abs(gt).sum() > 0
+
+    # point-query APIs
+    qpos = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    t = jnp.full((16,), 0.5)
+    qf = model.apply({"params": params}, qpos, t,
+                     method=RadianceField.query_flow)
+    assert qf["forward_flow"].shape == (16, 3)
+    qa = model.apply({"params": params}, qpos, t,
+                     method=RadianceField.query_attributes)
+    assert qa["density"].shape == (16,)
+
+
 def test_feature_head_and_learnable_pe():
     model = _mk_static(
         enable_feature_head=True, semantic_feature_dim=8,
