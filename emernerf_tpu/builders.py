@@ -73,6 +73,16 @@ def _table_dtype(cfg: ConfigNode):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def _table_param_dtype(cfg: ConfigNode):
+    name = cfg.nerf.model.get("table_param_dtype", "float32")
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def _mlp_dtype(cfg: ConfigNode):
+    name = cfg.nerf.model.get("mlp_dtype", "float32")
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
 def _enc_spec(enc_cfg: ConfigNode, backend: str):
     return make_grid_spec(
         backend,
@@ -136,6 +146,9 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         dynamic_spec=dynamic_spec,
         flow_spec=flow_spec,
         fuse_flow_grid=fuse_flow,
+        temporal_agg_topk=(
+            int(head.get("temporal_agg_topk", 0)) if fuse_flow else 0
+        ),
         aabb=tuple(float(v) for v in dataset.aabb),
         unbounded=cfg.nerf.unbounded,
         geometry_feature_dim=model_cfg.neck.geometry_feature_dim,
@@ -155,6 +168,8 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         num_train_timesteps=dataset.num_img_timesteps,
         time_diff=dataset.time_diff,
         table_dtype=_table_dtype(cfg),
+        table_param_dtype=_table_param_dtype(cfg),
+        mlp_dtype=_mlp_dtype(cfg),
         direction_encoding=head.get("direction_encoding", "sinusoidal"),
         enable_temporal_interpolation=head.get(
             "enable_temporal_interpolation", False
@@ -191,6 +206,8 @@ def build_propnets_from_cfg(
                 aabb=tuple(float(v) for v in dataset.aabb),
                 unbounded=cfg.nerf.unbounded,
                 table_dtype=_table_dtype(cfg),
+                table_param_dtype=_table_param_dtype(cfg),
+                mlp_dtype=_mlp_dtype(cfg),
             )
         )
     return nets

@@ -53,6 +53,8 @@ def flagship_config(tiny: bool = False, overrides=()):
             "nerf.model.neck.geometry_feature_dim=16",
             "nerf.model.neck.base_mlp_layer_width=16",
             "nerf.model.head.head_mlp_layer_width=16",
+            # keep the top-k aggregation path exercised at tiny scale
+            "nerf.model.head.temporal_agg_topk=2",
         ]
     cfg.merge_(from_dotlist(list(dot) + list(overrides)))
     return cfg

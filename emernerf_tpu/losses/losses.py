@@ -123,13 +123,20 @@ def dynamic_regularization_loss(
 
 def cycle_consistency_loss(
     forward_flow, forward_pred_backward_flow,
-    backward_flow, backward_pred_forward_flow, coef=0.01,
+    backward_flow, backward_pred_forward_flow, coef=0.01, mask=None,
 ):
     """Inline cycle loss of the train loop
     (/root/reference/train_emernerf.py:700-716): warped-point flow should
-    invert the original flow."""
-    loss = 0.5 * (
+    invert the original flow.  ``mask`` (from top-K temporal aggregation,
+    models/fields.py) restricts the mean to samples whose warped cycle
+    predictions were actually computed."""
+    per = 0.5 * (
         (jax.lax.stop_gradient(forward_flow) + forward_pred_backward_flow) ** 2
         + (jax.lax.stop_gradient(backward_flow) + backward_pred_forward_flow) ** 2
-    ).mean()
+    )
+    if mask is not None:
+        m = mask[..., None]
+        loss = (per * m).sum() / jnp.maximum(m.sum() * per.shape[-1], 1.0)
+    else:
+        loss = per.mean()
     return loss * coef

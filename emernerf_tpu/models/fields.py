@@ -52,13 +52,16 @@ def find_topk_nearby_timesteps(training_timesteps, query, topk: int = 2):
     return vals.reshape(*query.shape, topk)
 
 
-def _table_init(spec):
-    """Tables are STORED fp32 (master weights + fp32 Adam moments) and cast
-    to ``table_dtype`` at encode time — the TPU bf16 recipe (SURVEY §2.3):
-    bf16 gathers/compute, fp32 optimizer state, no loss scaling."""
+def _table_init(spec, dtype=jnp.float32):
+    """Table storage dtype is configurable (``table_param_dtype``): fp32
+    for CPU tests / small scenes, bf16 at flagship scale where the two big
+    tables (540MB fp32 each) plus Adam moments dominate HBM.  bf16 storage
+    matches the reference precedent (tcnn keeps hash tables fp16,
+    third_party/tcnn_modules.py); no loss scaling is needed on TPU since
+    bf16 has fp32's exponent range (SURVEY §2.3)."""
 
     def init(key, *_):
-        return init_grid_table(key, spec, dtype=jnp.float32)
+        return init_grid_table(key, spec, dtype=dtype)
 
     return init
 
@@ -72,10 +75,16 @@ class DensityField(nn.Module):
     unbounded: bool = True
     base_mlp_layer_width: int = 64
     table_dtype: jnp.dtype = jnp.float32
+    table_param_dtype: jnp.dtype = jnp.float32
+    mlp_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.table = self.param("hash_table", _table_init(self.spec))
-        self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, 1))
+        self.table = self.param(
+            "hash_table", _table_init(self.spec, self.table_param_dtype)
+        )
+        self.base_mlp = Sequential64(
+            widths=(self.base_mlp_layer_width, 1), dtype=self.mlp_dtype
+        )
 
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
         """positions: (..., 3) world coords -> density (...,)."""
@@ -107,6 +116,15 @@ class RadianceField(nn.Module):
     # resolution instead of the reference's hardcoded base 16 / max 4096,
     # radiance_field.py:916-923 — strictly more capacity).
     fuse_flow_grid: bool = False
+    # temporal aggregation on only the top-K samples per ray by
+    # current-time dynamic density (0 = all samples, the reference
+    # semantics).  Scene flow is only meaningful where dynamic content
+    # exists; the warped re-queries (2 fused grid encodes per sample) are
+    # the single largest train cost, so restricting them to the K most
+    # dynamic samples cuts it ~S/K-fold.  Non-selected samples fall back
+    # to the un-aggregated current-time features, and the cycle loss is
+    # masked to selected samples (extras["agg_mask"]).
+    temporal_agg_topk: int = 0
     aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
     unbounded: bool = True
     geometry_feature_dim: int = 64
@@ -127,6 +145,11 @@ class RadianceField(nn.Module):
     time_diff: float = 0.0
     pe_map_hw: Tuple[int, int] = (80, 120)
     table_dtype: jnp.dtype = jnp.float32
+    # table STORAGE dtype (params + Adam moments); bf16 at flagship scale
+    table_param_dtype: jnp.dtype = jnp.float32
+    # MLP/head COMPUTE dtype (params stay fp32); bf16 halves the dense
+    # activation residuals saved for the backward and doubles MXU rate
+    mlp_dtype: jnp.dtype = jnp.float32
     # direction encoder for the rgb/sky heads: "sinusoidal" (reference
     # default, radiance_field.py:126-128) or "sh" (tcnn SphericalHarmonics
     # equivalent, ops/sh.py)
@@ -142,9 +165,11 @@ class RadianceField(nn.Module):
     def setup(self):
         gf, sf = self.geometry_feature_dim, self.semantic_feature_dim
         self.xyz_table = self.param(
-            "xyz_table", _table_init(self.static_spec)
+            "xyz_table", _table_init(self.static_spec, self.table_param_dtype)
         )
-        self.base_mlp = Sequential64(widths=(self.base_mlp_layer_width, gf + sf))
+        self.base_mlp = Sequential64(
+            widths=(self.base_mlp_layer_width, gf + sf), dtype=self.mlp_dtype
+        )
 
         if self.dynamic_spec is not None:
             if self.fused:
@@ -159,24 +184,29 @@ class RadianceField(nn.Module):
                 )
                 self.dynflow_spec = fused_spec
                 self.dynflow_table = self.param(
-                    "dynflow_table", _table_init(fused_spec)
+                    "dynflow_table",
+                    _table_init(fused_spec, self.table_param_dtype),
                 )
             else:
                 self.dynamic_table = self.param(
-                    "dynamic_table", _table_init(self.dynamic_spec)
+                    "dynamic_table",
+                    _table_init(self.dynamic_spec, self.table_param_dtype),
                 )
             self.dynamic_base_mlp = Sequential64(
-                widths=(self.base_mlp_layer_width, gf + sf)
+                widths=(self.base_mlp_layer_width, gf + sf),
+                dtype=self.mlp_dtype,
             )
 
         if self.flow_spec is not None:
             if not self.fused:
                 self.flow_table = self.param(
-                    "flow_table", _table_init(self.flow_spec)
+                    "flow_table",
+                    _table_init(self.flow_spec, self.table_param_dtype),
                 )
             # 3 layers of base width -> 6 (fwd + bwd flow), no final activation
             self.flow_mlp = Sequential64(
-                widths=(self.base_mlp_layer_width, self.base_mlp_layer_width, 6)
+                widths=(self.base_mlp_layer_width, self.base_mlp_layer_width, 6),
+                dtype=self.mlp_dtype,
             )
 
         if self.use_appearance_embedding:
@@ -196,11 +226,13 @@ class RadianceField(nn.Module):
             num_layers=3,
             hidden_dims=self.head_mlp_layer_width,
             skip_connections=(1,),
+            dtype=self.mlp_dtype,
         )
 
         if self.enable_shadow_head:
             self.shadow_head = Sequential64(
-                widths=(self.base_mlp_layer_width, 1), final_sigmoid=True
+                widths=(self.base_mlp_layer_width, 1), final_sigmoid=True,
+                dtype=self.mlp_dtype,
             )
 
         if self.enable_sky_head:
@@ -209,6 +241,7 @@ class RadianceField(nn.Module):
                 num_layers=3,
                 hidden_dims=self.head_mlp_layer_width,
                 skip_connections=(1,),
+                dtype=self.mlp_dtype,
             )
             if self.enable_feature_head:
                 self.dino_sky_head = Sequential64(
@@ -216,7 +249,8 @@ class RadianceField(nn.Module):
                         self.feature_mlp_layer_width,
                         self.feature_mlp_layer_width,
                         self.feature_embedding_dim,
-                    )
+                    ),
+                    dtype=self.mlp_dtype,
                 )
 
         if self.enable_feature_head:
@@ -225,7 +259,8 @@ class RadianceField(nn.Module):
                     self.feature_mlp_layer_width,
                     self.feature_mlp_layer_width,
                     self.feature_embedding_dim,
-                )
+                ),
+                dtype=self.mlp_dtype,
             )
             if self.enable_learnable_pe:
                 h, w = self.pe_map_hw
@@ -454,6 +489,20 @@ class RadianceField(nn.Module):
         fwd_time = jnp.clip(normed_timestamps + self.time_diff * noise_t, 0.0, 1.0)
         bwd_time = jnp.clip(normed_timestamps - self.time_diff * noise_t, 0.0, 1.0)
 
+        k = self.temporal_agg_topk
+        use_topk = (
+            self.fused
+            and cur_feats is not None
+            and k > 0
+            and positions.ndim == 3
+            and k < positions.shape[1]
+        )
+        if use_topk:
+            return self._topk_aggregation(
+                positions, normed_timestamps, forward_flow, backward_flow,
+                cur_feats, noise, k,
+            )
+
         pos2 = jnp.stack([fwd_pos, bwd_pos])
         t2 = jnp.stack([fwd_time, bwd_time])
         if self.fused and cur_feats is not None:
@@ -482,6 +531,56 @@ class RadianceField(nn.Module):
             "dynamic_feats": aggregated,
             "forward_pred_backward_flow": pred2[0][..., 3:],
             "backward_pred_forward_flow": pred2[1][..., :3],
+        }
+
+    def _topk_aggregation(
+        self, positions, normed_timestamps, forward_flow, backward_flow,
+        cur_feats, noise, k: int,
+    ):
+        """Temporal aggregation restricted to the K most-dynamic samples
+        per ray (by current-time dynamic density).  Non-selected samples
+        keep their un-aggregated current-time features; the cycle
+        predictions are scattered back full-size with an ``agg_mask`` so
+        the cycle loss averages only over selected samples."""
+        r, s = positions.shape[:2]
+        cur_density = density_activation(cur_feats[..., 0])  # (R, S)
+        _, idx = jax.lax.top_k(cur_density, k)  # (R, K)
+        r_ids = jnp.arange(r)[:, None]
+
+        def sel(x):
+            return jnp.take_along_axis(
+                x, idx.reshape(r, k, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        pos_k = sel(positions)
+        t_k = jnp.take_along_axis(normed_timestamps, idx, axis=1)
+        ff_k, bf_k = sel(forward_flow), sel(backward_flow)
+        noise_k = sel(noise)
+        fwd_pos = self.contract_points(pos_k + ff_k * noise_k)
+        bwd_pos = self.contract_points(pos_k + bf_k * noise_k)
+        nt = noise_k[..., 0]
+        fwd_time = jnp.clip(t_k + self.time_diff * nt, 0.0, 1.0)
+        bwd_time = jnp.clip(t_k - self.time_diff * nt, 0.0, 1.0)
+
+        pos2 = jnp.stack([fwd_pos, bwd_pos])
+        t2 = jnp.stack([fwd_time, bwd_time])
+        dyn2, flow2 = self._dynflow_encode(pos2, t2, needs_pos_grad=True)
+        feats2 = self.dynamic_base_mlp(dyn2)  # (2, R, K, gf+sf)
+        pred2 = self.flow_mlp(flow2)  # (2, R, K, 6)
+
+        cur_k = sel(cur_feats)
+        agg_k = (cur_k + 0.5 * feats2[0] + 0.5 * feats2[1]) / 2.0
+        aggregated = cur_feats.at[r_ids, idx].set(agg_k)
+
+        zeros3 = jnp.zeros((r, s, 3), pred2.dtype)
+        fwd_pred_bwd = zeros3.at[r_ids, idx].set(pred2[0][..., 3:])
+        bwd_pred_fwd = zeros3.at[r_ids, idx].set(pred2[1][..., :3])
+        mask = jnp.zeros((r, s), jnp.float32).at[r_ids, idx].set(1.0)
+        return {
+            "dynamic_feats": aggregated,
+            "forward_pred_backward_flow": fwd_pred_bwd,
+            "backward_pred_forward_flow": bwd_pred_fwd,
+            "agg_mask": mask,
         }
 
     # ------------------------------------------------------------------ #

@@ -470,7 +470,14 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
                 parts.append(_reduce_row(feats_lerp, dw, f) * sc)
             if spec.has_time:
                 parts.append((f1 - f0) * sc)
-            auxs.append(jnp.stack(parts, axis=1))  # (N, G, F)
+            aux_l = jnp.stack(parts, axis=1)  # (N, G, F)
+            # the aux reduction is the LAST consumer of this level's
+            # gathered-row transient; tie it into the serialization chain,
+            # otherwise XLA defers all levels' aux math to the end of the
+            # forward and keeps every level's (N, row_width) copy live at
+            # once (measured: 10 x 216MB concurrent copies -> OOM)
+            out_l, aux_l = jax.lax.optimization_barrier((out_l, aux_l))
+            auxs.append(aux_l)
         outs.append(out_l)
         prev = out_l
     out = jnp.concatenate(outs, axis=-1)  # (N, L*F)

@@ -55,6 +55,7 @@ def composite_rays(
         "backward_flow",
         "forward_pred_backward_flow",
         "backward_pred_forward_flow",
+        "agg_mask",
     ):
         if k in results:
             extras[k] = results[k]

@@ -24,18 +24,66 @@ import jax.numpy as jnp
 import optax
 
 
+def _scale_by_adam_lp(b1=0.9, b2=0.99, eps=1e-15):
+    """Adam direction with moments STORED in each param's own dtype but all
+    update math in fp32.
+
+    Hash tables are stored bfloat16 at the flagship scale (they are the
+    memory budget: 2 x 540MB fp32 -> 270MB bf16, and Adam state triples
+    that).  The reference precedent is the same: torch Adam state is
+    created with ``zeros_like(param)`` and tcnn params are fp16, so the
+    CUDA build trains fp16 moments (/root/reference/builders.py:50-61 +
+    third_party/tcnn_modules.py fp16 params).  Computing the moment update
+    in fp32 and rounding on store keeps the per-step rounding error
+    unbiased instead of compounding inside bf16 arithmetic."""
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def new_mu(g, mu):
+            return (
+                b1 * mu.astype(jnp.float32)
+                + (1.0 - b1) * g.astype(jnp.float32)
+            ).astype(mu.dtype)
+
+        def new_nu(g, nu):
+            g32 = g.astype(jnp.float32)
+            return (
+                b2 * nu.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            ).astype(nu.dtype)
+
+        def direction(mu, nu):
+            mu32, nu32 = mu.astype(jnp.float32), nu.astype(jnp.float32)
+            return (mu32 / c1) / (jnp.sqrt(nu32 / c2) + eps)
+
+        mu = jax.tree.map(new_mu, updates, state.mu)
+        nu = jax.tree.map(new_nu, updates, state.nu)
+        direction = jax.tree.map(direction, mu, nu)
+        return direction, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adam(weight_decay: float = 1e-5) -> optax.GradientTransformation:
     """Adam direction (lr applied separately by the train step so the two
     updates per iteration can use different scheduler counts).
 
-    ``mu_dtype=float32`` keeps the first moment in fp32 even for bfloat16
-    tables (SURVEY §2.3: bf16 params + fp32 optimizer state; the second
-    moment is fp32 by optax default via the squared-grad accumulation)."""
+    Moments are stored in each param's dtype (fp32 for MLPs/embeddings,
+    bf16 for bf16 hash tables) with fp32 update math — see
+    ``_scale_by_adam_lp``."""
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(
-            b1=0.9, b2=0.99, eps=1e-15, eps_root=0.0, mu_dtype=jnp.float32
-        ),
+        _scale_by_adam_lp(b1=0.9, b2=0.99, eps=1e-15),
     )
 
 

@@ -193,7 +193,7 @@ def build_train_step(
             losses["cycle_loss"] = cycle_consistency_loss(
                 extras["forward_flow"], extras["forward_pred_backward_flow"],
                 extras["backward_flow"], extras["backward_pred_forward_flow"],
-                cfg.cycle_coef,
+                cfg.cycle_coef, mask=extras.get("agg_mask"),
             )
         prop_loss = jnp.zeros(())
         if requires_grad:

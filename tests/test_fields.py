@@ -165,6 +165,62 @@ def test_fused_dynflow_grid_matches_interfaces():
     assert qa["density"].shape == (16,)
 
 
+def test_topk_temporal_aggregation():
+    """With temporal_agg_topk=K, exactly K samples per ray get warped
+    aggregation (agg_mask), non-selected samples keep their current-time
+    features, and the cycle predictions are zero off-mask."""
+    from emernerf_tpu.ops.brickgrid import BrickGridSpec
+
+    b4 = BrickGridSpec(4, 4, 4, 32, 7, 2, time_pair=True)
+    b3 = BrickGridSpec(3, 4, 4, 32, 8, 2)
+    kw = dict(
+        static_spec=b3, dynamic_spec=b4, flow_spec=b4, time_diff=0.1,
+        fuse_flow_grid=True,
+    )
+    model_k = _mk_static(temporal_agg_topk=2, **kw)
+    model_full = _mk_static(temporal_agg_topk=0, **kw)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 3))
+    dirs = jnp.ones((4, 6, 3)) / jnp.sqrt(3.0)
+    data = {
+        "normed_timestamps": jnp.full((4, 6), 0.5),
+        "img_idx": jnp.zeros((4, 6), jnp.int32),
+    }
+    params = model_full.init(jax.random.PRNGKey(0), pos, dirs, data)["params"]
+
+    rngs = {"aggregation": jax.random.PRNGKey(7)}
+    out_k = model_k.apply({"params": params}, pos, dirs, data, train=True,
+                          rngs=rngs)
+    out_f = model_full.apply({"params": params}, pos, dirs, data, train=True,
+                             rngs=rngs)
+
+    mask = np.asarray(out_k["agg_mask"])
+    assert mask.shape == (4, 6)
+    np.testing.assert_array_equal(mask.sum(axis=1), np.full(4, 2.0))
+    # cycle predictions vanish off-mask
+    preds = np.asarray(out_k["forward_pred_backward_flow"])
+    assert np.all(preds[mask == 0] == 0)
+    assert np.abs(preds[mask == 1]).sum() > 0
+    # same current-time flow either way
+    np.testing.assert_allclose(
+        np.asarray(out_k["forward_flow"]), np.asarray(out_f["forward_flow"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # selected samples reproduce the full-path aggregated density exactly
+    # (same noise rng -> same warp); non-selected differ in general
+    dk = np.asarray(out_k["dynamic_density"])
+    df = np.asarray(out_f["dynamic_density"])
+    np.testing.assert_allclose(dk[mask == 1], df[mask == 1], rtol=1e-4,
+                               atol=1e-6)
+    # grads flow through the top-k path into the fused table
+    def loss(p):
+        o = model_k.apply({"params": p}, pos, dirs, data, train=True,
+                          rngs=rngs)
+        return o["density"].sum() + (o["forward_pred_backward_flow"] ** 2).sum()
+
+    g = jax.grad(loss)(params)["dynflow_table"]
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
 def test_feature_head_and_learnable_pe():
     model = _mk_static(
         enable_feature_head=True, semantic_feature_dim=8,

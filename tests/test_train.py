@@ -164,6 +164,75 @@ def test_training_improves_psnr(dynamic, flow):
     assert np.isfinite(psnrs).all()
 
 
+@pytest.mark.slow
+def test_fused_topk_quality_parity():
+    """The TPU-production formulation (fused dyn+flow brick grid +
+    top-K temporal aggregation) must train the synthetic dynamic scene to
+    within 1.5 dB of the reference-semantics formulation (separate hash
+    grids, aggregation on every sample)."""
+    from emernerf_tpu.ops.brickgrid import BrickGridSpec
+
+    scene_np, scene = _make_scene(dynamic=True)
+    aabb = tuple(float(v) for v in scene_np["aabb"])
+
+    def run(variant):
+        if variant == "reference":
+            spec3 = HashGridSpec(3, 6, 8, 256, 14, 2)
+            spec4 = HashGridSpec(4, 6, 8, 128, 13, 2)
+            extra = {}
+            pspec = HashGridSpec(3, 4, 8, 128, 14, 1)
+        else:
+            spec3 = BrickGridSpec(3, 6, 8, 256, 11, 2)
+            spec4 = BrickGridSpec(4, 6, 8, 128, 10, 2, time_pair=True)
+            extra = dict(
+                fuse_flow_grid=True,
+                temporal_agg_topk=4 if variant == "topk" else 0,
+            )
+            pspec = BrickGridSpec(3, 4, 8, 128, 11, 1)
+        model = RadianceField(
+            static_spec=spec3, dynamic_spec=spec4, flow_spec=spec4,
+            aabb=aabb, geometry_feature_dim=16, base_mlp_layer_width=32,
+            head_mlp_layer_width=32, semantic_feature_dim=0,
+            enable_img_embedding=True,
+            num_train_timesteps=scene_np["num_frames"],
+            num_cams=scene_np["num_cams"], appearance_embedding_dim=4,
+            enable_sky_head=True, time_diff=scene_np["time_diff"], **extra,
+        )
+        props = [DensityField(spec=pspec, aabb=aabb, base_mlp_layer_width=32)]
+        cfg = TrainStepConfig(
+            num_samples=16, prop_samples=(24,), use_sky_loss=True,
+            has_lidar=True, has_flow=True, use_dynamic_reg=True,
+            num_iters=2000, los_enable=True, los_start_iter=50, lr=0.01,
+        )
+        key = jax.random.PRNGKey(0)
+        pb = sample_pixel_batch(scene, key, 256)
+        state = init_train_state(model, props, cfg, key, pb)
+        step_fn = build_train_step(model, props, cfg)
+        rg_fn = proposal_requires_grad_schedule()
+        sample_p = jax.jit(partial(sample_pixel_batch, num_rays=256))
+        sample_l = jax.jit(partial(sample_lidar_batch, num_rays=256))
+        psnrs = []
+        for i in range(60):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            state, m = step_fn(
+                state, sample_p(scene, k1), sample_l(scene, k2), k3,
+                pixel_rg=rg_fn(i), lidar_rg=rg_fn(i),
+            )
+            psnrs.append(float(m["psnr"]))
+        assert np.isfinite(psnrs).all()
+        return np.mean(psnrs[-5:])
+
+    psnr_ref = run("reference")
+    psnr_fused = run("fused")
+    psnr_topk = run("topk")
+    assert psnr_fused > psnr_ref - 1.5, (
+        f"fused grid quality gap: {psnr_fused:.2f} vs {psnr_ref:.2f}"
+    )
+    assert psnr_topk > psnr_ref - 1.5, (
+        f"top-k aggregation quality gap: {psnr_topk:.2f} vs {psnr_ref:.2f}"
+    )
+
+
 def test_train_state_step_advances_and_lr_logged():
     scene_np, scene = _make_scene()
     model, props = _make_models(scene_np)
