@@ -254,27 +254,27 @@ def _brick_rows(spec: BrickGridSpec, brick_u, t_cell_u, lvl: int,
 
 
 def _axis_weights(o, f, cpa: int = 3):
-    """Per-axis weights over brick-local corner positions {0..cpa-1}.
+    """Per-axis weights over brick-local corner positions {0..cpa-1} as ONE
+    (cpa, N) array (N-minor — the measured-fast layout for narrow data).
 
     o: (N,) float cell offset inside the brick (0..cpa-2); f: (N,)
     fraction.  w[p] = (p == o) (1-f) + (p == o+1) f, evaluated densely —
-    each position is the cell's lower corner, upper corner, or zero."""
-    ws = []
-    for p in range(cpa):
-        lo = jnp.where(o == p, 1.0 - f, 0.0)
-        hi = jnp.where(o == p - 1, f, 0.0)
-        ws.append(lo + hi)
-    return tuple(ws)
+    each position is the cell's lower corner, upper corner, or zero.
+    Vectorized over p: the unrolled per-corner form traced thousands of
+    small (N,) ops across levels x encode sites and dominated TPU compile
+    time (~18 min for the flagship train step)."""
+    p = jnp.arange(cpa, dtype=o.dtype)[:, None]  # (cpa, 1)
+    lo = jnp.where(o[None, :] == p, 1.0 - f[None, :], 0.0)
+    hi = jnp.where(o[None, :] == p - 1.0, f[None, :], 0.0)
+    return lo + hi  # (cpa, N)
 
 
 def _axis_dweights(o, cpa: int = 3):
-    """d(w[p])/df per position (depends only on o)."""
-    dws = []
-    for p in range(cpa):
-        dws.append(
-            jnp.where(o == p, -1.0, 0.0) + jnp.where(o == p - 1, 1.0, 0.0)
-        )
-    return tuple(dws)
+    """d(w[p])/df per position (depends only on o), as (cpa, N)."""
+    p = jnp.arange(cpa, dtype=o.dtype)[:, None]
+    return jnp.where(o[None, :] == p, -1.0, 0.0) + jnp.where(
+        o[None, :] == p - 1.0, 1.0, 0.0
+    )
 
 
 def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
@@ -310,63 +310,66 @@ def _level_geometry(spec: BrickGridSpec, xt, tt, lvl, scales, strides,
     return (rows,), list(zip(off, frac)), None
 
 
+def _outer_corners(mats, cpa: int):
+    """D per-axis (cpa, N) weight matrices -> (C, N) corner weights with
+    axis 0's digit FASTEST in the corner index (c = sum_i digit_i cpa^i),
+    matching the table's corner-major row layout.  Two broadcasts instead
+    of C unrolled product chains."""
+    acc = mats[-1]
+    n = acc.shape[-1]
+    for m in mats[-2::-1]:
+        # new[x*cpa + p] = acc[x] * m[p]: m's digit is faster than acc's
+        acc = (acc[:, None, :] * m[None, :, :]).reshape(-1, n)
+    return acc
+
+
 def _corner_weights(spec: BrickGridSpec, axes):
-    """All 27 corner weights as a list of (N,) arrays (unrolled outer
-    product of the per-axis weight triples; 19 of 27 are analytically
-    zero-valued but densely computed — pure VPU math, no lane selection)."""
-    d = spec.spatial_dims
-    ws = [_axis_weights(o, f, spec.CPA) for o, f in axes]  # D x CPA of (N,)
-    out = []
-    for c in range(spec.corners_per_brick):
-        idx = []
-        cc = c
-        for _ in range(d):
-            idx.append(cc % spec.CPA)
-            cc //= spec.CPA
-        # idx[0] is the fastest axis; match the linear corner layout below
-        w = ws[0][idx[0]]
-        for i in range(1, d):
-            w = w * ws[i][idx[i]]
-        out.append(w)
-    return out
+    """All corner weights as ONE (C, N) array (vectorized outer product of
+    the per-axis weight triples; the analytically-zero corners are densely
+    computed — pure VPU math, no lane selection)."""
+    ws = [_axis_weights(o, f, spec.CPA) for o, f in axes]  # D x (cpa, N)
+    return _outer_corners(ws, spec.CPA)
 
 
 def _corner_dweights(spec: BrickGridSpec, axes, axis_i: int):
-    """27 corner weight derivatives d(W_c)/d(frac_{axis_i}) as (N,) arrays:
+    """Corner weight derivatives d(W_c)/d(frac_{axis_i}) as (C, N):
     dW_c/df_i = dw_i[dig_i] * prod_{j!=i} w_j[dig_j]."""
-    d = spec.spatial_dims
     ws = [_axis_weights(o, f, spec.CPA) for o, f in axes]
-    dws = _axis_dweights(axes[axis_i][0], spec.CPA)
-    out = []
-    for c in range(spec.corners_per_brick):
-        digs = _corner_digits(spec, c)
-        w = dws[digs[axis_i]]
-        for j in range(d):
-            if j == axis_i:
-                continue
-            w = w * ws[j][digs[j]]
-        out.append(w)
-    return out
+    ws[axis_i] = _axis_dweights(axes[axis_i][0], spec.CPA)
+    return _outer_corners(ws, spec.CPA)
 
 
-def _weights_row(weights, f, dtype):
-    """27 (N,) corner weights -> (N, 27F) lane-expanded weight row matching
-    the table's corner-major feature layout."""
-    w27 = jnp.stack(weights, axis=-1).astype(dtype)  # (N, 27)
-    return jnp.repeat(w27, f, axis=1)  # (N, 27F)
+def _weights_row(spec, axes, f, dtype):
+    """Corner weights as an (N, CF) lane-expanded row matching the table's
+    corner-major feature layout, built DIRECTLY in lane-major form from the
+    per-axis offsets/fractions.  Transposing the (C, N) reduce-path weights
+    instead costs a materialized full-size relayout copy of the (N, CF)
+    scatter update array (measured 864MB at the training workload)."""
+    mats = []
+    for o, fr in axes:
+        p = jnp.arange(spec.CPA, dtype=o.dtype)[None, :]  # (1, cpa)
+        lo = jnp.where(o[:, None] == p, 1.0 - fr[:, None], 0.0)
+        hi = jnp.where(o[:, None] == p - 1.0, fr[:, None], 0.0)
+        mats.append(lo + hi)  # (N, cpa)
+    acc = mats[-1]
+    n = acc.shape[0]
+    for m in mats[-2::-1]:
+        # acc digit slower than m's: index = x*cpa + p, axis-0 digit fastest
+        acc = (acc[:, :, None] * m[:, None, :]).reshape(n, -1)
+    return jnp.repeat(acc.astype(dtype), f, axis=1)  # (N, CF)
 
 
 def _reduce_row(feats, weights, f):
-    """(N, 27F) gathered rows x 27 (N,) weights -> (N, F).
+    """(N, CF) gathered rows x (C, N) corner weights -> (N, F).
 
-    "unroll": per-corner lane-slice multiply-adds — NO (N, 27, F) reshape,
+    "unroll": per-corner lane-slice multiply-adds — NO (N, C, F) reshape,
     which XLA materializes as a second full-size relayout copy of the
     gather output (measured 648MB per level at the training workload).
     "einsum": single contraction, lets XLA pick the layout."""
     n, w = feats.shape
     c = w // f
     if _REDUCE_MODE() == "einsum":
-        w27 = jnp.stack(weights, axis=-1).astype(feats.dtype)  # (N, 27)
+        w27 = weights.T.astype(feats.dtype)  # (N, C)
         return jnp.einsum("nc,ncf->nf", w27, feats.reshape(n, c, f))
     acc = None
     for ci in range(c):
@@ -542,7 +545,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
         weights = _corner_weights(spec, axes)
         g_row = gl[:, lvl, :]  # (N, F)
         g_tiled = jnp.tile(g_row, (1, cpb))  # (N, 27F), corner-major blocks
-        wrow = _weights_row(weights, f, jnp.float32)  # (N, 27F)
+        wrow = _weights_row(spec, axes, f, jnp.float32)  # (N, 27F)
 
         tws = (1.0 - t_frac, t_frac) if spec.has_time else (None,)
 
@@ -613,20 +616,17 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
                 gdot = gdots[0] * tws[0][:, None] + gdots[1] * tws[1][:, None]
             else:
                 gdot = gdots[0]
-            gdot_c = [gdot[:, c] for c in range(cpb)]  # 27 x (N,)
+            gdot_t = gdot.T  # (C, N)
 
             for i in range(spec.spatial_dims):
-                dw_c = _corner_dweights(spec, axes, i)
-                acc = None
-                for c in range(cpb):
-                    contrib = gdot_c[c] * dw_c[c]
-                    acc = contrib if acc is None else acc + contrib
+                dw_c = _corner_dweights(spec, axes, i)  # (C, N)
+                acc = (gdot_t * dw_c).sum(axis=0)  # (N,)
                 d_pos_parts[i] = d_pos_parts[i] + acc * scales[lvl]
             if spec.has_time:
                 # d/dt: lerp derivative ((f1 - f0) . g) * scale
-                gsum = ((gdots[1] - gdots[0]) * jnp.stack(
-                    weights, axis=-1
-                )).sum(axis=-1)  # (N,)
+                gsum = (
+                    (gdots[1] - gdots[0]) * weights.T
+                ).sum(axis=-1)  # (N,)
                 d_pos_parts[d - 1] = d_pos_parts[d - 1] + gsum * scales[lvl]
 
     d_table = jnp.concatenate(d_level_tables, axis=0)
