@@ -344,19 +344,40 @@ def _weights_row(spec, axes, f, dtype):
     corner-major feature layout, built DIRECTLY in lane-major form from the
     per-axis offsets/fractions.  Transposing the (C, N) reduce-path weights
     instead costs a materialized full-size relayout copy of the (N, CF)
-    scatter update array (measured 864MB at the training workload)."""
+    scatter update array (measured 864MB at the training workload).
+
+    All intermediates are built in ``dtype`` so the (N, cpa^D) products
+    stay bf16-sized when the consumer is bf16."""
     mats = []
     for o, fr in axes:
         p = jnp.arange(spec.CPA, dtype=o.dtype)[None, :]  # (1, cpa)
         lo = jnp.where(o[:, None] == p, 1.0 - fr[:, None], 0.0)
         hi = jnp.where(o[:, None] == p - 1.0, fr[:, None], 0.0)
-        mats.append(lo + hi)  # (N, cpa)
+        mats.append((lo + hi).astype(dtype))  # (N, cpa)
     acc = mats[-1]
     n = acc.shape[0]
     for m in mats[-2::-1]:
         # acc digit slower than m's: index = x*cpa + p, axis-0 digit fastest
         acc = (acc[:, :, None] * m[:, None, :]).reshape(n, -1)
-    return jnp.repeat(acc.astype(dtype), f, axis=1)  # (N, CF)
+    if f == 1:
+        return acc
+    return jnp.repeat(acc, f, axis=1)  # (N, CF)
+
+
+def _reduce_row_lane(spec, axes, feats, prev=None):
+    """F=1 fast path: (N, C) gathered rows x lane-major corner weights ->
+    (N, 1).  One full-lane multiply + f32 lane reduction; the per-corner
+    slice unroll degenerates to C narrow (N, 1) MACs for F=1 (measured
+    ~150 ms/step across the two proposal grids on v5e).
+
+    ``prev`` ties the weight-row construction into the level serialization
+    chain: it depends only on the (un-barriered) axes, so without the tie
+    XLA schedules every level's (N, C) weight row upfront and keeps them
+    all live (measured 8 x 256MB concurrent temps)."""
+    wrow = _weights_row(spec, axes, 1, feats.dtype)
+    if prev is not None:
+        wrow = jax.lax.optimization_barrier((wrow, prev))[0]
+    return (feats * wrow).astype(jnp.float32).sum(axis=1)[:, None]
 
 
 def _reduce_row(feats, weights, f):
@@ -451,7 +472,10 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             # one 2N take raises the gather rate ~10% but doubles the live
             # (N, 27F) transient — measured OOM at the training workload
             lo = jnp.take(level_table, rows[0], axis=0, mode="clip")
-            f0 = _reduce_row(lo, weights, f)  # (N, F)
+            if f == 1 and not spec.has_time:
+                f0 = _reduce_row_lane(spec, axes, lo, prev)  # (N, 1), f32
+            else:
+                f0 = _reduce_row(lo, weights, f)  # (N, F)
             f1 = hi = None
             out_l = f0
             if spec.has_time:
