@@ -352,25 +352,48 @@ def _weights_row(spec, axes, f, dtype, t_frac=None):
     halves separately and lane-concatenating them costs a materialized
     (N, 2CF) fp32 copy (measured 171 ms/step across encode sites).
 
-    All intermediates are built in ``dtype`` so the (N, cpa^D) products
-    stay bf16-sized when the consumer is bf16."""
-    mats = []
+    Pure lane-decoded elementwise form: a (N, lanes) iota is decoded into
+    per-axis corner digits and compared against each point's cell offset.
+    No broadcast-into-new-axis + reshape chain — that materializes the
+    (N, lanes) product in a reshape-unfriendly layout and XLA inserts a
+    full relayout copy per (level, site) before the scatter (measured
+    ~100 x 3ms of 'data formatting' copies per step)."""
+    n = axes[0][0].shape[0]
+    cpa = spec.CPA
+    lanes = spec.corners_per_brick * f * (2 if t_frac is not None else 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 1)
+    cidx = j // f  # corner index; axis-0 digit fastest, time slowest
+    w = None
+    div = 1
     for o, fr in axes:
-        p = jnp.arange(spec.CPA, dtype=o.dtype)[None, :]  # (1, cpa)
-        lo = jnp.where(o[:, None] == p, 1.0 - fr[:, None], 0.0)
-        hi = jnp.where(o[:, None] == p - 1.0, fr[:, None], 0.0)
-        mats.append((lo + hi).astype(dtype))  # (N, cpa)
+        dig = ((cidx // div) % cpa).astype(o.dtype)
+        o_c = o[:, None]
+        wi = jnp.where(
+            dig == o_c, (1.0 - fr)[:, None],
+            jnp.where(dig == o_c + 1.0, fr[:, None], 0.0),
+        ).astype(dtype)
+        w = wi if w is None else w * wi
+        div *= cpa
     if t_frac is not None:
-        tf = t_frac.astype(dtype)
-        mats.append(jnp.stack([1.0 - tf, tf], axis=1))  # (N, 2), slowest
-    acc = mats[-1]
-    n = acc.shape[0]
-    for m in mats[-2::-1]:
-        # acc digit slower than m's: index = x*cpa + p, axis-0 digit fastest
-        acc = (acc[:, :, None] * m[:, None, :]).reshape(n, -1)
+        tdig = (cidx // div).astype(t_frac.dtype)
+        tf = t_frac[:, None]
+        w = w * jnp.where(tdig == 0.0, 1.0 - tf, tf).astype(dtype)
+    return w  # (N, lanes)
+
+
+def _g_lanes(g_row, reps):
+    """(N, F) cotangent -> (N, F*reps) lane-tiled [g, g, ...] via lane
+    decode + select (fusable elementwise; ``jnp.tile``'s broadcast+reshape
+    materializes a relayout copy at these shapes)."""
+    n, f = g_row.shape
     if f == 1:
-        return acc
-    return jnp.repeat(acc, f, axis=1)  # (N, CF)
+        return jnp.broadcast_to(g_row, (n, reps))
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, f * reps), 1) % f
+    acc = None
+    for k in range(f):
+        term = jnp.where(j == k, g_row[:, k:k + 1], 0.0)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _reduce_row_lane(spec, axes, feats, prev=None):
@@ -592,11 +615,11 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
             # by side, matching the paired row layout; time lerp weights
             # are folded into the weight-row outer product (no lane concat)
             wrow_pair = _weights_row(spec, axes, f, jnp.float32, t_frac)
-            upds = [wrow_pair * jnp.tile(g_row, (1, 2 * cpb))]
+            upds = [wrow_pair * _g_lanes(g_row, 2 * cpb)]
         else:
             # per-slice scatters (merging doubles the live fp32 update
             # buffer — measured OOM); one wide row scatter per slice
-            g_tiled = jnp.tile(g_row, (1, cpb))  # (N, 27F)
+            g_tiled = _g_lanes(g_row, cpb)  # (N, 27F)
             wrow = _weights_row(spec, axes, f, jnp.float32)  # (N, 27F)
             upds = []
             for tw in tws:
@@ -634,7 +657,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
                 for rset in rows
             ]
             # gdot[:, c] = sum_f g_f * feats[:, cF+f], per time slice
-            g_tiled = jnp.tile(g_row, (1, cpb))  # (N, 27F)
+            g_tiled = _g_lanes(g_row, cpb)  # (N, 27F)
             gdots = []
             if spec.uses_time_pair:
                 half = cpb * f
