@@ -545,15 +545,23 @@ class RadianceField(nn.Module):
         r, s = positions.shape[:2]
         cur_density = density_activation(cur_feats[..., 0])  # (R, S)
         _, idx = jax.lax.top_k(cur_density, k)  # (R, K)
-        r_ids = jnp.arange(r)[:, None]
+
+        # gathers/scatters over the S axis via one-hot contractions:
+        # fancy-index .at[].set / take_along_axis at (R, K) lower to
+        # scatters with SMEM-serialized index lists (~5.7M rows/s,
+        # measured 137 ms/step across these six ops); the (R, K, S)
+        # one-hot einsums are a few MXU/VPU ms
+        onehot = (
+            idx[:, :, None] == jnp.arange(s, dtype=idx.dtype)[None, None, :]
+        ).astype(jnp.float32)  # (R, K, S)
 
         def sel(x):
-            return jnp.take_along_axis(
-                x, idx.reshape(r, k, *([1] * (x.ndim - 2))), axis=1
-            )
+            if x.ndim == 2:
+                return jnp.einsum("rks,rs->rk", onehot, x)
+            return jnp.einsum("rks,rsf->rkf", onehot, x)
 
         pos_k = sel(positions)
-        t_k = jnp.take_along_axis(normed_timestamps, idx, axis=1)
+        t_k = sel(normed_timestamps)
         ff_k, bf_k = sel(forward_flow), sel(backward_flow)
         noise_k = sel(noise)
         fwd_pos = self.contract_points(pos_k + ff_k * noise_k)
@@ -568,14 +576,18 @@ class RadianceField(nn.Module):
         feats2 = self.dynamic_base_mlp(dyn2)  # (2, R, K, gf+sf)
         pred2 = self.flow_mlp(flow2)  # (2, R, K, 6)
 
+        def unsel(vals_k):  # (R, K, F) -> (R, S, F), zeros off-mask
+            return jnp.einsum("rks,rkf->rsf", onehot, vals_k)
+
+        mask = onehot.sum(axis=1)  # (R, S), exactly K ones per ray
         cur_k = sel(cur_feats)
         agg_k = (cur_k + 0.5 * feats2[0] + 0.5 * feats2[1]) / 2.0
-        aggregated = cur_feats.at[r_ids, idx].set(agg_k)
+        aggregated = (
+            cur_feats * (1.0 - mask)[..., None] + unsel(agg_k)
+        )
 
-        zeros3 = jnp.zeros((r, s, 3), pred2.dtype)
-        fwd_pred_bwd = zeros3.at[r_ids, idx].set(pred2[0][..., 3:])
-        bwd_pred_fwd = zeros3.at[r_ids, idx].set(pred2[1][..., :3])
-        mask = jnp.zeros((r, s), jnp.float32).at[r_ids, idx].set(1.0)
+        fwd_pred_bwd = unsel(pred2[0][..., 3:])
+        bwd_pred_fwd = unsel(pred2[1][..., :3])
         return {
             "dynamic_feats": aggregated,
             "forward_pred_backward_flow": fwd_pred_bwd,

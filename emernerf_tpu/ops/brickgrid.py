@@ -409,7 +409,10 @@ def _reduce_row_lane(spec, axes, feats, prev=None):
     wrow = _weights_row(spec, axes, 1, feats.dtype)
     if prev is not None:
         wrow = jax.lax.optimization_barrier((wrow, prev))[0]
-    return (feats * wrow).astype(jnp.float32).sum(axis=1)[:, None]
+    # reduce in the feats dtype (bf16): converting the (N, C) product to
+    # f32 before the sum materializes a 2x-size intermediate; the <=2-bit
+    # accumulation loss over <=125 lanes is below the bf16 table noise
+    return (feats * wrow).sum(axis=1)[:, None].astype(jnp.float32)
 
 
 def _reduce_row(feats, weights, f):
