@@ -263,6 +263,7 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         los_decay_rate=sup.depth.line_of_sight.decay_rate,
         lr=cfg.optim.lr,
         weight_decay=float(cfg.optim.weight_decay),
+        fused_branches=bool(cfg.optim.get("fused_lidar_branch", False)),
         num_iters=cfg.optim.num_iters,
     )
 

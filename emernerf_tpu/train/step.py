@@ -93,6 +93,13 @@ class TrainStepConfig:
     lr: float = 0.01
     weight_decay: float = 1e-5
     num_iters: int = 25000
+    # TPU restructuring: render the pixel and lidar ray batches as ONE
+    # combined batch with a single backward + Adam update per iteration
+    # (the reference runs two sequential backward/update passes,
+    # train_emernerf.py:741-826).  Halves per-op fixed costs and doubles
+    # the row count every gather/scatter amortizes over.  PSNR parity with
+    # the two-pass formulation is asserted by tests/test_train.py.
+    fused_branches: bool = False
 
 
 def _psnr(pred, gt):
@@ -149,16 +156,7 @@ def build_train_step(
     )
 
     # ---------------- pixel branch ---------------- #
-    def pixel_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
-        params, prop_params = params_tuple
-        out, caches, s_vals = render_ray_batch(
-            model, params, prop_models, prop_params, batch, key,
-            stratified=True, proposal_requires_grad=requires_grad,
-            train=True, rngs={"aggregation": agg_key},
-            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
-            **render_kw,
-        )
-        extras = out["extras"]
+    def _pixel_losses(out, extras, batch):
         losses: Dict[str, jnp.ndarray] = {
             "rgb_loss": real_value_loss(
                 out["rgb"], batch["pixels"], cfg.rgb_loss_type, cfg.rgb_coef
@@ -195,6 +193,19 @@ def build_train_step(
                 extras["backward_flow"], extras["backward_pred_forward_flow"],
                 cfg.cycle_coef, mask=extras.get("agg_mask"),
             )
+        return losses
+
+    def pixel_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
+        params, prop_params = params_tuple
+        out, caches, s_vals = render_ray_batch(
+            model, params, prop_models, prop_params, batch, key,
+            stratified=True, proposal_requires_grad=requires_grad,
+            train=True, rngs={"aggregation": agg_key},
+            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            **render_kw,
+        )
+        extras = out["extras"]
+        losses = _pixel_losses(out, extras, batch)
         prop_loss = jnp.zeros(())
         if requires_grad:
             prop_loss = compute_prop_loss(
@@ -209,16 +220,7 @@ def build_train_step(
         return total, aux
 
     # ---------------- lidar branch ---------------- #
-    def lidar_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
-        params, prop_params = params_tuple
-        out, caches, s_vals = render_ray_batch(
-            model, params, prop_models, prop_params, batch, key,
-            stratified=True, proposal_requires_grad=requires_grad,
-            is_lidar=True, train=True, rngs={"aggregation": agg_key},
-            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
-            **render_kw,
-        )
-        extras = out["extras"]
+    def _lidar_losses(out, extras, batch, step):
         losses = {
             "lidar_range_loss": depth_loss(
                 out["depth"], batch["ranges"], cfg.depth_loss_type,
@@ -241,6 +243,19 @@ def build_train_step(
                 loss_type=cfg.dynamic_loss_type, coef=cfg.dynamic_coef,
                 entropy_skewness=cfg.entropy_skewness,
             )
+        return losses
+
+    def lidar_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
+        params, prop_params = params_tuple
+        out, caches, s_vals = render_ray_batch(
+            model, params, prop_models, prop_params, batch, key,
+            stratified=True, proposal_requires_grad=requires_grad,
+            is_lidar=True, train=True, rngs={"aggregation": agg_key},
+            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            **render_kw,
+        )
+        extras = out["extras"]
+        losses = _lidar_losses(out, extras, batch, step)
         prop_loss = jnp.zeros(())
         if requires_grad:
             prop_loss = compute_prop_loss(
@@ -252,6 +267,67 @@ def build_train_step(
         aux["total_lidar_loss"] = sum(losses.values())
         aux["range_rmse"] = jnp.sqrt(
             jnp.mean((out["depth"][..., 0] - batch["ranges"]) ** 2)
+        )
+        return total, aux
+
+
+    # ---------------- fused pixel+lidar branch ---------------- #
+    def _combined_batch(pixel_batch, lidar_batch):
+        """Concatenate the two ray batches; lidar rays get neutral values
+        for pixel-only metadata (their rgb/feature head outputs are
+        discarded by the loss slicing)."""
+        rp = pixel_batch["origins"].shape[0]
+        rl = lidar_batch["origins"].shape[0]
+        comb = {
+            "origins": jnp.concatenate(
+                [pixel_batch["origins"], lidar_batch["origins"]]
+            ),
+            "viewdirs": jnp.concatenate(
+                [pixel_batch["viewdirs"], lidar_batch["viewdirs"]]
+            ),
+        }
+        for k in ("normed_timestamps", "img_idx", "cam_idx", "pixel_coords"):
+            if k in pixel_batch and pixel_batch[k] is not None:
+                pv = pixel_batch[k]
+                lv = lidar_batch.get(k)
+                if lv is None:
+                    lv = jnp.zeros((rl,) + pv.shape[1:], pv.dtype)
+                comb[k] = jnp.concatenate([pv, lv])
+        return comb, rp
+
+    def joint_loss_fn(params_tuple, pixel_batch, lidar_batch, key, agg_key,
+                      step, requires_grad):
+        params, prop_params = params_tuple
+        comb, rp = _combined_batch(pixel_batch, lidar_batch)
+        out, caches, s_vals = render_ray_batch(
+            model, params, prop_models, prop_params, comb, key,
+            stratified=True, proposal_requires_grad=requires_grad,
+            train=True, rngs={"aggregation": agg_key},
+            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            **render_kw,
+        )
+        extras = out.pop("extras")
+        out_p = jax.tree.map(lambda v: v[:rp], out)
+        out_l = jax.tree.map(lambda v: v[rp:], out)
+        ex_p = jax.tree.map(lambda v: v[:rp], extras)
+        ex_l = jax.tree.map(lambda v: v[rp:], extras)
+        losses = _pixel_losses(out_p, ex_p, pixel_batch)
+        lidar_losses = _lidar_losses(out_l, ex_l, lidar_batch, step)
+        prop_loss = jnp.zeros(())
+        if requires_grad:
+            prop_loss = compute_prop_loss(
+                caches, s_vals, extras["trans"], cfg.enable_anti_aliasing,
+                tuple(cfg.pulse_widths), cfg.prop_loss_scaler,
+            )
+        total = sum(losses.values()) + sum(lidar_losses.values()) + prop_loss
+        aux = dict(losses)
+        aux.update(lidar_losses)
+        aux["prop_loss"] = prop_loss
+        aux["psnr"] = _psnr(out_p["rgb"], pixel_batch["pixels"])
+        aux["total_pixel_loss"] = sum(losses.values())
+        aux["total_lidar_loss"] = sum(lidar_losses.values())
+        aux["range_rmse"] = jnp.sqrt(
+            jnp.mean((out_l["depth"][..., 0] - lidar_batch["ranges"]) ** 2)
         )
         return total, aux
 
@@ -271,6 +347,30 @@ def build_train_step(
 
         k_pix, k_pix_agg, k_lid, k_lid_agg = jax.random.split(key, 4)
         sched_count = step * steps_per_iter
+
+        if cfg.fused_branches and cfg.has_lidar:
+            # ONE combined render/backward/update (see TrainStepConfig)
+            rg = pixel_rg or lidar_rg
+            (_, aux), grads = jax.value_and_grad(
+                joint_loss_fn, has_aux=True
+            )((params, prop_params), pixel_batch, lidar_batch, k_pix,
+              k_pix_agg, step, rg)
+            g_model, g_prop = grads
+            lr = lr_fn(sched_count)
+            if rg:
+                prop_params, prop_opt_state = apply_update(
+                    tx, g_prop, prop_opt_state, prop_params, lr
+                )
+            params, opt_state = apply_update(tx, g_model, opt_state, params, lr)
+            metrics.update(aux)
+            metrics["lr"] = lr
+            return TrainState(
+                step=step + 1,
+                params=params,
+                prop_params=prop_params,
+                opt_state=opt_state,
+                prop_opt_state=prop_opt_state,
+            ), metrics
 
         # pixel branch
         (_, aux), grads = jax.value_and_grad(

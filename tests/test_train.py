@@ -248,6 +248,37 @@ def test_train_state_step_advances_and_lr_logged():
     assert "prop_loss" in metrics
 
 
+def test_fused_branch_step_matches_metric_surface():
+    """fused_branches=True: one combined pixel+lidar render/backward/update
+    produces the same metric keys, finite values, and an advancing step."""
+    scene_np, scene = _make_scene()
+    model, props = _make_models(scene_np)
+    common = dict(num_samples=8, prop_samples=(16,), has_lidar=True,
+                  use_sky_loss=True, los_enable=True, los_start_iter=0,
+                  num_iters=100)
+    key = jax.random.PRNGKey(0)
+    pb = sample_pixel_batch(scene, key, 64)
+    lb = sample_lidar_batch(scene, key, 64)
+
+    metrics = {}
+    for fused in (False, True):
+        cfg = TrainStepConfig(fused_branches=fused, **common)
+        state = init_train_state(model, props, cfg, key, pb)
+        step_fn = build_train_step(model, props, cfg)
+        state, m = step_fn(state, pb, lb, key, pixel_rg=True, lidar_rg=True)
+        assert int(state.step) == 1
+        vals = np.array([float(v) for v in m.values()])
+        assert np.isfinite(vals).all()
+        metrics[fused] = m
+    assert set(metrics[True]) == set(metrics[False])
+    # same data, same init: the two formulations see identical forward
+    # renders in their first step, so the pixel loss agrees
+    np.testing.assert_allclose(
+        float(metrics[True]["rgb_loss"]), float(metrics[False]["rgb_loss"]),
+        rtol=2e-2,
+    )
+
+
 def test_nan_tripwire_unit():
     """raise_on_nonfinite flags NaN/inf loss scalars and passes finite ones
     (reference semantics: /root/reference/loss/base.py:77-79)."""
