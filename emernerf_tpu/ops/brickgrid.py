@@ -402,13 +402,13 @@ def _reduce_row_lane(spec, axes, feats, prev=None):
     slice unroll degenerates to C narrow (N, 1) MACs for F=1 (measured
     ~150 ms/step across the two proposal grids on v5e).
 
-    ``prev`` ties the weight-row construction into the level serialization
-    chain: it depends only on the (un-barriered) axes, so without the tie
-    XLA schedules every level's (N, C) weight row upfront and keeps them
-    all live (measured 8 x 256MB concurrent temps)."""
+    No barrier on the weight row: its only consumer is the reduce below,
+    which already depends on the (barrier-serialized) gathered rows, so it
+    fuses into that reduce without materializing.  (An earlier revision
+    barriered ``prev`` -> wrow directly, which forced each level's (N, C)
+    row to materialize — 61 ms/step across the proposal grids.)"""
+    del prev
     wrow = _weights_row(spec, axes, 1, feats.dtype)
-    if prev is not None:
-        wrow = jax.lax.optimization_barrier((wrow, prev))[0]
     # reduce in the feats dtype (bf16): converting the (N, C) product to
     # f32 before the sum materializes a 2x-size intermediate; the <=2-bit
     # accumulation loss over <=125 lanes is below the bf16 table noise
