@@ -18,6 +18,15 @@ import pytest  # noqa: E402
 # starts; flip the config back to cpu-only before any backend initializes
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's wall time is dominated by CPU
+# XLA compiles (the 8-way sharded train step alone is ~6 min); cached
+# re-runs skip them entirely
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("EMERNERF_JAX_CACHE", "/tmp/emernerf_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_addoption(parser):
     parser.addoption(
