@@ -21,8 +21,11 @@ import time
 
 import jax
 
+from emernerf_tpu.utils.cache import enable_compilation_cache
+
 
 def main():
+    enable_compilation_cache()
     preset = os.environ.get("BENCH_PRESET", "full")
     tiny = preset == "tiny"
     steps = int(os.environ.get("BENCH_STEPS", "4" if not tiny else "3"))

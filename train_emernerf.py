@@ -88,6 +88,9 @@ def setup(args):
 
 
 def main(args):
+    from emernerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = setup(args)
     logger = logging.getLogger("emernerf_tpu")
 
