@@ -29,12 +29,17 @@ def make_grid_spec(
     max_resolution: int,
     log2_hashmap_size: int,
     n_features_per_level: int,
+    perf: dict | None = None,
 ):
     """Grid spec for the configured backend.
 
     "brick" (default, TPU-fast): cell capacity matches the hash table —
     a brick covers 2^3 spatial cells, so log2_bricks = log2_hashmap_size - 3.
-    "hash": the exact tcnn layout (for parity checks / tiny models)."""
+    "hash": the exact tcnn layout (for parity checks / tiny models).
+    ``perf``: measured-formulation knobs from ``cfg.nerf.model.perf``
+    (scatter_mode/reduce_mode/posgrad_mode/gather_mode) — spec fields so a
+    run's numerics are reproducible from its config snapshot."""
+    perf = perf or {}
     if backend == "hash":
         return HashGridSpec(
             n_input_dims=n_input_dims,
@@ -43,6 +48,7 @@ def make_grid_spec(
             max_resolution=max_resolution,
             log2_hashmap_size=log2_hashmap_size,
             n_features_per_level=n_features_per_level,
+            gather_mode=perf.get("gather_mode", "2d"),
         )
     if backend == "brick":
         # F=1 grids (proposal nets) use 4^3-cell bricks: the 125-corner row
@@ -60,12 +66,23 @@ def make_grid_spec(
             # 4D rows store both time corners: ONE gather per (point, level)
             # instead of two — gathers are row-rate-bound on TPU
             time_pair=n_input_dims == 4,
+            scatter_mode=perf.get("scatter_mode", "wide"),
+            reduce_mode=perf.get("reduce_mode", "unroll"),
+            posgrad_mode=perf.get("posgrad_mode", "fwd"),
         )
     raise ValueError(f"Unknown grid backend: {backend}")
 
 
 def _grid_backend(cfg: ConfigNode) -> str:
     return cfg.nerf.model.get("grid_backend", "brick")
+
+
+def _perf_cfg(cfg: ConfigNode) -> dict:
+    """nerf.model.perf.* measured-formulation knobs as a plain dict."""
+    perf = cfg.nerf.model.get("perf", None)
+    if perf is None:
+        return {}
+    return {k: perf[k] for k in perf.keys()}
 
 
 def _table_dtype(cfg: ConfigNode):
@@ -83,7 +100,7 @@ def _mlp_dtype(cfg: ConfigNode):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
-def _enc_spec(enc_cfg: ConfigNode, backend: str):
+def _enc_spec(enc_cfg: ConfigNode, backend: str, perf: dict | None = None):
     return make_grid_spec(
         backend,
         n_input_dims=enc_cfg.n_input_dims,
@@ -92,15 +109,17 @@ def _enc_spec(enc_cfg: ConfigNode, backend: str):
         max_resolution=enc_cfg.max_resolution,
         log2_hashmap_size=enc_cfg.log2_hashmap_size,
         n_features_per_level=enc_cfg.n_features_per_level,
+        perf=perf,
     )
 
 
-def _flow_spec(backend: str):
+def _flow_spec(backend: str, perf: dict | None = None):
     """Flow encoder structure is hardcoded in the reference
     (radiance_field.py:916-923)."""
     return make_grid_spec(
         backend, n_input_dims=4, n_levels=10, base_resolution=16,
         max_resolution=4096, log2_hashmap_size=18, n_features_per_level=4,
+        perf=perf,
     )
 
 
@@ -126,12 +145,15 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
         feature_dim = int(dataset.features.shape[-1])
 
     backend = _grid_backend(cfg)
+    perf = _perf_cfg(cfg)
     dynamic_spec = (
-        _enc_spec(model_cfg.dynamic_xyz_encoder, backend)
+        _enc_spec(model_cfg.dynamic_xyz_encoder, backend, perf)
         if head.enable_dynamic_branch
         else None
     )
-    flow_spec = _flow_spec(backend) if head.enable_flow_branch else None
+    flow_spec = (
+        _flow_spec(backend, perf) if head.enable_flow_branch else None
+    )
     # fuse the dynamic + flow grids into one F=8 table by default on the
     # brick backend (halves 4D gather/scatter rows — the dominant train
     # cost); the exact-hash backend keeps the reference's separate grids
@@ -142,7 +164,7 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
     )
 
     return RadianceField(
-        static_spec=_enc_spec(model_cfg.xyz_encoder, backend),
+        static_spec=_enc_spec(model_cfg.xyz_encoder, backend, perf),
         dynamic_spec=dynamic_spec,
         flow_spec=flow_spec,
         fuse_flow_grid=fuse_flow,
@@ -189,6 +211,7 @@ def build_propnets_from_cfg(
     pcfg = cfg.nerf.propnet
     enc = pcfg.xyz_encoder
     backend = _grid_backend(cfg)
+    perf = _perf_cfg(cfg)
     nets = []
     for i in range(len(pcfg.num_samples_per_prop)):
         spec = make_grid_spec(
@@ -199,6 +222,7 @@ def build_propnets_from_cfg(
             max_resolution=enc.max_resolution_per_prop[i],
             log2_hashmap_size=enc.lgo2_hashmap_size_per_prop[i],
             n_features_per_level=enc.n_features_per_level,
+            perf=perf,
         )
         nets.append(
             DensityField(
@@ -264,6 +288,7 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         lr=cfg.optim.lr,
         weight_decay=float(cfg.optim.weight_decay),
         fused_branches=bool(cfg.optim.get("fused_lidar_branch", False)),
+        remat=bool(cfg.optim.get("remat", False)),
         num_iters=cfg.optim.num_iters,
     )
 

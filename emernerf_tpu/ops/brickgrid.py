@@ -58,24 +58,11 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861, 3674653429)
 
 
-def _SCATTER_MODE() -> str:
-    """Table-grad scatter formulation: "wide" = one (N, 27F)-row
-    scatter-add per (level, slice) — measured ~52M rows/s on v5e, vs 108x
-    more narrow rows for "flat" (kept for tests/tiny models)."""
-    return os.environ.get("EMERNERF_SCATTER", "wide")
-
-
-def _REDUCE_MODE() -> str:
-    return os.environ.get("EMERNERF_REDUCE", "unroll")
-
-
-def _POSGRAD_MODE() -> str:
-    """Position-gradient formulation: "fwd" saves per-axis weighted feature
-    reductions from the forward pass (small residuals, no backward
-    re-gather); "regather" recomputes them in the backward by re-gathering
-    table rows (frugal residuals, 42M extra rows/step at the reference
-    workload)."""
-    return os.environ.get("EMERNERF_POSGRAD", "fwd")
+def _env_override(var: str, default: str) -> str:
+    """Perf formulations are SPEC FIELDS (captured by config snapshots —
+    a run's numerics are reproducible from its saved config.yaml alone);
+    the EMERNERF_* env vars remain as a debug escape hatch only."""
+    return os.environ.get(var, default)
 
 
 @dataclass(frozen=True)
@@ -104,6 +91,31 @@ class BrickGridSpec:
     # (2x row width, 2x parameters) so each (point, level) query is ONE
     # gather instead of two — gathers are row-rate-bound on TPU
     time_pair: bool = False
+    # ---- measured-formulation knobs (config-visible; EMERNERF_SCATTER /
+    # EMERNERF_REDUCE / EMERNERF_POSGRAD env vars override for debugging).
+    # scatter_mode: "wide" = one (N, 27F)-row scatter-add per (level,
+    # slice) (~45-52M rows/s on v5e); "flat" = narrow per-lane scatters
+    # (tests/tiny models).
+    scatter_mode: str = "wide"
+    # reduce_mode: "unroll" = per-corner lane-slice MACs (avoids the
+    # (N, C, F) relayout copy); "einsum" lets XLA pick the layout.
+    reduce_mode: str = "unroll"
+    # posgrad_mode: "fwd" = forward-saved per-axis reductions;
+    # "regather" = re-gather rows in the backward (frugal residuals,
+    # ~42M extra rows/step at the reference workload).
+    posgrad_mode: str = "fwd"
+
+    @property
+    def scatter(self) -> str:
+        return _env_override("EMERNERF_SCATTER", self.scatter_mode)
+
+    @property
+    def reduce(self) -> str:
+        return _env_override("EMERNERF_REDUCE", self.reduce_mode)
+
+    @property
+    def posgrad(self) -> str:
+        return _env_override("EMERNERF_POSGRAD", self.posgrad_mode)
 
     @property
     def brick_cells(self) -> int:
@@ -415,7 +427,7 @@ def _reduce_row_lane(spec, axes, feats, prev=None):
     return (feats * wrow).sum(axis=1)[:, None].astype(jnp.float32)
 
 
-def _reduce_row(feats, weights, f):
+def _reduce_row(feats, weights, f, mode="unroll"):
     """(N, CF) gathered rows x (C, N) corner weights -> (N, F).
 
     "unroll": per-corner lane-slice multiply-adds — NO (N, C, F) reshape,
@@ -424,7 +436,7 @@ def _reduce_row(feats, weights, f):
     "einsum": single contraction, lets XLA pick the layout."""
     n, w = feats.shape
     c = w // f
-    if _REDUCE_MODE() == "einsum":
+    if mode == "einsum":
         w27 = weights.T.astype(feats.dtype)  # (N, C)
         return jnp.einsum("nc,ncf->nf", w27, feats.reshape(n, c, f))
     acc = None
@@ -498,8 +510,8 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             # ONE (N, 2*27F)-row gather: both time corners in the row
             feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")
             lo, hi = feats0[:, :half], feats0[:, half:]
-            f0 = _reduce_row(lo, weights, f)
-            f1 = _reduce_row(hi, weights, f)
+            f0 = _reduce_row(lo, weights, f, spec.reduce)
+            f1 = _reduce_row(hi, weights, f, spec.reduce)
             tw = t_frac.astype(f0.dtype)[:, None]
             out_l = f0 * (1.0 - tw) + f1 * tw
         else:
@@ -510,12 +522,12 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             if f == 1 and not spec.has_time:
                 f0 = _reduce_row_lane(spec, axes, lo, prev)  # (N, 1), f32
             else:
-                f0 = _reduce_row(lo, weights, f)  # (N, F)
+                f0 = _reduce_row(lo, weights, f, spec.reduce)  # (N, F)
             f1 = hi = None
             out_l = f0
             if spec.has_time:
                 hi = jnp.take(level_table, rows[1], axis=0, mode="clip")
-                f1 = _reduce_row(hi, weights, f)
+                f1 = _reduce_row(hi, weights, f, spec.reduce)
                 tw = t_frac.astype(f0.dtype)[:, None]
                 out_l = f0 * (1.0 - tw) + f1 * tw
         if want_aux:
@@ -529,7 +541,7 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             parts = []
             for i in range(spec.spatial_dims):
                 dw = _corner_dweights(spec, axes, i)
-                parts.append(_reduce_row(feats_lerp, dw, f) * sc)
+                parts.append(_reduce_row(feats_lerp, dw, f, spec.reduce) * sc)
             if spec.has_time:
                 parts.append((f1 - f0) * sc)
             aux_l = jnp.stack(parts, axis=1)  # (N, G, F)
@@ -563,7 +575,7 @@ def _corner_digits(spec: BrickGridSpec, c: int):
 
 
 def _brickgrid_fwd(table, positions, spec, needs_pos_grad):
-    want_aux = needs_pos_grad and _POSGRAD_MODE() == "fwd"
+    want_aux = needs_pos_grad and spec.posgrad == "fwd"
     out, aux = _encode_impl(table, positions, spec, want_aux=want_aux)
     return out, (table, positions, aux)
 
@@ -585,7 +597,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
     # cotangent per level: (N, L, F)
     gl = g.reshape(-1, spec.n_levels, f).astype(jnp.float32)
 
-    mode = _SCATTER_MODE()
+    mode = spec.scatter
     d_level_tables = []  # per-level (B, 27F) fp32 grad buffers
     d_pos_parts = [jnp.zeros((n,), jnp.float32) for _ in range(d)]
     lanes = np.arange(width, dtype=np.int32)

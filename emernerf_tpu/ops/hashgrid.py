@@ -39,12 +39,6 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861, 3674653429)
 
 
-def _GATHER_MODE() -> str:
-    """Gather formulation: "2d" (single take per level, chunked along N
-    with serialization barriers to bound the lane-padded gather temps;
-    fastest measured) or "1d" (per-feature takes, no padded temps at all).
-    Env-switchable for benchmarking."""
-    return os.environ.get("EMERNERF_GATHER", "2d")
 
 
 # max elements per chunked 2D take: bounds the padded [chunk, 128] gather
@@ -72,6 +66,15 @@ class HashGridSpec:
     max_resolution: int = 2048
     log2_hashmap_size: int = 19
     n_features_per_level: int = 2
+    # gather formulation: "2d" (single take per level, chunked along N
+    # with serialization barriers to bound the lane-padded gather temps;
+    # fastest measured) or "1d" (per-feature takes, no padded temps).
+    # Config-visible; EMERNERF_GATHER env var overrides for debugging.
+    gather_mode: str = "2d"
+
+    @property
+    def gather(self) -> str:
+        return os.environ.get("EMERNERF_GATHER", self.gather_mode)
 
     @property
     def growth_factor(self) -> float:
@@ -355,7 +358,7 @@ def hashgrid_encode(
         c = offsets.shape[0]
         flat_rows = rows.reshape(-1)  # (C*N,)
         w_flat = w.reshape(-1).astype(table.dtype)
-        if _GATHER_MODE() == "1d":
+        if spec.gather == "1d":
             # per-feature 1D gathers: no padded temps (a 2D (F, T)-operand
             # gather output materializes as [C*N, F] minor-F, padded
             # 4 -> 128 lanes: 4 GB temps at the reference workload)
@@ -447,7 +450,7 @@ def _hashgrid_bwd(spec, needs_pos_grad, residuals, g):
             # dw_c/dfrac_i = (+/-) prod_{i' != i} term_i'
             # gdotf computed per feature on 2D (C*N,) buffers
             gdotf = jnp.zeros_like(w_flat)
-            if _GATHER_MODE() == "1d":
+            if spec.gather == "1d":
                 for fi in range(f):
                     feats_fi = jnp.take(
                         table[fi, lvl * t : (lvl + 1) * t], flat_rows,

@@ -93,6 +93,9 @@ class TrainStepConfig:
     lr: float = 0.01
     weight_decay: float = 1e-5
     num_iters: int = 25000
+    # recompute field queries in the backward (jax.checkpoint) instead of
+    # holding every head's activations; EMERNERF_REMAT=1 env overrides
+    remat: bool = False
     # TPU restructuring: render the pixel and lidar ray batches as ONE
     # combined batch with a single backward + Adam update per iteration
     # (the reference runs two sequential backward/update passes,
@@ -201,7 +204,7 @@ def build_train_step(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
             train=True, rngs={"aggregation": agg_key},
-            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            remat=cfg.remat or os.environ.get("EMERNERF_REMAT", "0") == "1",
             **render_kw,
         )
         extras = out["extras"]
@@ -251,7 +254,7 @@ def build_train_step(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
             is_lidar=True, train=True, rngs={"aggregation": agg_key},
-            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            remat=cfg.remat or os.environ.get("EMERNERF_REMAT", "0") == "1",
             **render_kw,
         )
         extras = out["extras"]
@@ -303,7 +306,7 @@ def build_train_step(
             model, params, prop_models, prop_params, comb, key,
             stratified=True, proposal_requires_grad=requires_grad,
             train=True, rngs={"aggregation": agg_key},
-            remat=os.environ.get("EMERNERF_REMAT", "0") == "1",
+            remat=cfg.remat or os.environ.get("EMERNERF_REMAT", "0") == "1",
             **render_kw,
         )
         extras = out.pop("extras")
