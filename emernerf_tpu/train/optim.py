@@ -24,24 +24,37 @@ import jax.numpy as jnp
 import optax
 
 
-def _scale_by_adam_lp(b1=0.9, b2=0.99, eps=1e-15):
-    """Adam direction with moments STORED in each param's own dtype but all
-    update math in fp32.
+# params with more elements than this store Adam moments in bf16 (the two
+# flagship hash tables are ~160M elements each; every MLP/head/embedding is
+# <100k and keeps fp32 moments)
+_BF16_MOMENT_MIN_ELEMS = 1 << 20
 
-    Hash tables are stored bfloat16 at the flagship scale (they are the
-    memory budget: 2 x 540MB fp32 -> 270MB bf16, and Adam state triples
-    that).  The reference precedent is the same: torch Adam state is
-    created with ``zeros_like(param)`` and tcnn params are fp16, so the
-    CUDA build trains fp16 moments (/root/reference/builders.py:50-61 +
-    third_party/tcnn_modules.py fp16 params).  Computing the moment update
-    in fp32 and rounding on store keeps the per-step rounding error
-    unbiased instead of compounding inside bf16 arithmetic."""
+
+def _scale_by_adam_lp(b1=0.9, b2=0.99, eps=1e-15):
+    """Adam direction with fp32 update math and reduced-precision moment
+    STORAGE for the huge hash tables.
+
+    Master params are fp32 (model default ``table_param_dtype=float32``):
+    after the lr schedule decays (0.33^4 ~ 1e-4 x base_lr) per-step updates
+    fall below the bf16 ulp of typical param magnitudes, so bf16 param
+    storage silently drops them and table training stalls late in the run
+    (round-1 ADVICE.md).  Moments of the big tables are stored bf16 — they
+    are EMAs updated multiplicatively (b*m + (1-b)*g computed in fp32,
+    rounded on store), which has no such additive-cancellation cliff, and
+    they are the HBM bulk (2 moments x 2 tables x ~640MB fp32).  The
+    reference precedent is fp16 tcnn params with param-dtype torch Adam
+    state (/root/reference/builders.py:50-61)."""
+
+    def _moment_like(p):
+        if p.dtype == jnp.float32 and p.size >= _BF16_MOMENT_MIN_ELEMS:
+            return jnp.zeros(p.shape, jnp.bfloat16)
+        return jnp.zeros_like(p)
 
     def init(params):
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params),
+            mu=jax.tree.map(_moment_like, params),
+            nu=jax.tree.map(_moment_like, params),
         )
 
     def update(updates, state, params=None):

@@ -325,3 +325,35 @@ def test_nan_tripwire_halts_training(tmp_path, monkeypatch):
     monkeypatch.setattr(trainer, "train_step", poisoned_step)
     with pytest.raises(RuntimeError, match="Non-finite loss"):
         trainer.train()
+
+
+def test_adam_moment_dtypes_and_fp32_master_retention():
+    """Big fp32 table params get bf16 Adam moments (HBM bound); small
+    params keep fp32 moments.  fp32 master params retain updates that
+    bf16 storage would round away (round-1 ADVICE.md late-lr stall)."""
+    import jax.numpy as jnp
+
+    from emernerf_tpu.train.optim import apply_update, make_adam
+
+    tx = make_adam(0.0)
+    params = {
+        "table": jnp.full((1 << 20, 2), 0.5, jnp.float32),
+        "mlp": jnp.full((8, 8), 0.5, jnp.float32),
+    }
+    st = tx.init(params)
+    assert st[1].mu["table"].dtype == jnp.bfloat16
+    assert st[1].nu["table"].dtype == jnp.bfloat16
+    assert st[1].mu["mlp"].dtype == jnp.float32
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    # lr far below the bf16 ulp of 0.5 (~2^-9): the fp32 add must keep it
+    new_params, _ = apply_update(tx, grads, st, params, lr=1e-5)
+    delta = float(jnp.abs(new_params["table"] - params["table"]).max())
+    assert delta > 0.0
+    # and the same value round-tripped through bf16 storage would stall
+    assert float(
+        jnp.abs(
+            new_params["table"].astype(jnp.bfloat16).astype(jnp.float32)
+            - params["table"]
+        ).max()
+    ) == 0.0
