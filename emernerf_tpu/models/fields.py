@@ -500,7 +500,7 @@ class RadianceField(nn.Module):
         if use_topk:
             return self._topk_aggregation(
                 positions, normed_timestamps, forward_flow, backward_flow,
-                cur_feats, noise, k,
+                cur_feats, noise, k, train=train,
             )
 
         pos2 = jnp.stack([fwd_pos, bwd_pos])
@@ -510,7 +510,7 @@ class RadianceField(nn.Module):
             dyn2, flow2 = self._dynflow_encode(pos2, t2, needs_pos_grad=True)
             feats2 = self.dynamic_base_mlp(dyn2)
             fwd_feats, bwd_feats = feats2[0], feats2[1]
-            pred2 = self.flow_mlp(flow2)
+            pred2 = self._cycle_flow_pred(pos2, t2, flow2, train)
         else:
             # batched dynamic query: (cur, +warp, -warp) stacked on axis 0.
             # warped positions depend on the flow field, so the whole batch
@@ -533,9 +533,29 @@ class RadianceField(nn.Module):
             "backward_pred_forward_flow": pred2[1][..., :3],
         }
 
+    def _cycle_flow_pred(self, pos2, t2, flow2, train: bool):
+        """Cycle-consistency flow predictions at the warped points.
+
+        In the fused-grid fast path the flow encoding (``flow2``) falls out
+        of the same gather as the dynamic features.  At eval with
+        ``enable_temporal_interpolation`` the direct ``flow_mlp(flow2)``
+        would bypass the nearest-training-timestep lerp that the unfused
+        path applies (reference radiance_field.py:372-387), so route the
+        query through :meth:`forward_flow_hash` there (extra encodes at
+        eval only)."""
+        if (
+            not train
+            and self.enable_temporal_interpolation
+            and self.training_timesteps
+        ):
+            return self.forward_flow_hash(
+                pos2, t2, needs_pos_grad=False, train=False
+            )
+        return self.flow_mlp(flow2)
+
     def _topk_aggregation(
         self, positions, normed_timestamps, forward_flow, backward_flow,
-        cur_feats, noise, k: int,
+        cur_feats, noise, k: int, train: bool = True,
     ):
         """Temporal aggregation restricted to the K most-dynamic samples
         per ray (by current-time dynamic density).  Non-selected samples
@@ -574,7 +594,7 @@ class RadianceField(nn.Module):
         t2 = jnp.stack([fwd_time, bwd_time])
         dyn2, flow2 = self._dynflow_encode(pos2, t2, needs_pos_grad=True)
         feats2 = self.dynamic_base_mlp(dyn2)  # (2, R, K, gf+sf)
-        pred2 = self.flow_mlp(flow2)  # (2, R, K, 6)
+        pred2 = self._cycle_flow_pred(pos2, t2, flow2, train)  # (2, R, K, 6)
 
         def unsel(vals_k):  # (R, K, F) -> (R, S, F), zeros off-mask
             return jnp.einsum("rks,rkf->rsf", onehot, vals_k)

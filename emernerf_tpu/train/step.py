@@ -276,9 +276,12 @@ def build_train_step(
 
     # ---------------- fused pixel+lidar branch ---------------- #
     def _combined_batch(pixel_batch, lidar_batch):
-        """Concatenate the two ray batches; lidar rays get neutral values
-        for pixel-only metadata (their rgb/feature head outputs are
-        discarded by the loss slicing)."""
+        """Concatenate the two ray batches; a side missing a metadata key
+        gets neutral values (lidar rays' rgb/feature head outputs are
+        discarded by the loss slicing — the fused branch pays that head
+        compute for the op merging; see TrainStepConfig.fused_branches).
+        The key set is the UNION of both batches, so e.g. a lidar-only
+        ``normed_timestamps`` still renders lidar rays as dynamic."""
         rp = pixel_batch["origins"].shape[0]
         rl = lidar_batch["origins"].shape[0]
         comb = {
@@ -290,12 +293,14 @@ def build_train_step(
             ),
         }
         for k in ("normed_timestamps", "img_idx", "cam_idx", "pixel_coords"):
-            if k in pixel_batch and pixel_batch[k] is not None:
-                pv = pixel_batch[k]
-                lv = lidar_batch.get(k)
-                if lv is None:
-                    lv = jnp.zeros((rl,) + pv.shape[1:], pv.dtype)
-                comb[k] = jnp.concatenate([pv, lv])
+            pv, lv = pixel_batch.get(k), lidar_batch.get(k)
+            if pv is None and lv is None:
+                continue
+            if pv is None:
+                pv = jnp.zeros((rp,) + lv.shape[1:], lv.dtype)
+            if lv is None:
+                lv = jnp.zeros((rl,) + pv.shape[1:], pv.dtype)
+            comb[k] = jnp.concatenate([pv, lv])
         return comb, rp
 
     def joint_loss_fn(params_tuple, pixel_batch, lidar_batch, key, agg_key,
