@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import time
 from functools import partial
 from typing import Dict, Optional
 
@@ -59,22 +60,38 @@ def raise_on_nonfinite(scalars: Dict[str, float], step: int) -> None:
         )
 
 
+def init_wandb(cfg: ConfigNode, log_dir: str, retries: int = 10,
+               sleep_s: float = 1.0):
+    """wandb.init with a retry loop for flaky cloud machines (reference
+    train_emernerf.py:146-157); returns the module or None (graceful
+    degradation — a logging outage must not kill a 25k-iter run)."""
+    for attempt in range(retries):
+        try:
+            import wandb
+
+            wandb.init(
+                project=cfg.get("project", "emernerf_tpu"),
+                dir=log_dir, config=cfg.to_dict(),
+            )
+            return wandb
+        except ImportError as e:  # wandb not installed: no retry
+            logger.warning("wandb disabled: %s", e)
+            return None
+        except Exception as e:
+            logger.warning(
+                "wandb init failed (attempt %d/%d): %s",
+                attempt + 1, retries, e,
+            )
+            time.sleep(sleep_s)
+    logger.warning("wandb disabled after %d failed init attempts", retries)
+    return None
+
+
 class Trainer:
     def __init__(self, cfg: ConfigNode, log_dir: str, enable_wandb: bool = False):
         self.cfg = cfg
         self.log_dir = log_dir
-        self.wandb = None
-        if enable_wandb:
-            try:
-                import wandb
-
-                wandb.init(
-                    project=cfg.get("project", "emernerf_tpu"),
-                    dir=log_dir, config=cfg.to_dict(),
-                )
-                self.wandb = wandb
-            except Exception as e:  # wandb missing or offline
-                logger.warning("wandb disabled: %s", e)
+        self.wandb = init_wandb(cfg, log_dir) if enable_wandb else None
 
         logger.info("Building dataset...")
         self.dataset = build_dataset_from_cfg(cfg)

@@ -357,3 +357,37 @@ def test_adam_moment_dtypes_and_fp32_master_retention():
             - params["table"]
         ).max()
     ) == 0.0
+
+
+def test_wandb_init_retries_then_succeeds(monkeypatch):
+    """Flaky wandb.init is retried up to 10 times (reference
+    train_emernerf.py:146-157) and degrades to None when always failing."""
+    import sys
+    import types
+
+    from emernerf_tpu.config import from_dotlist
+    from emernerf_tpu.train import trainer as trainer_mod
+
+    calls = {"n": 0}
+
+    def flaky_init(**kwargs):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+
+    fake = types.ModuleType("wandb")
+    fake.init = flaky_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    cfg = from_dotlist(["project=test"])
+    got = trainer_mod.init_wandb(cfg, "/tmp", retries=10, sleep_s=0.0)
+    assert got is fake and calls["n"] == 3
+
+    calls["n"] = 0
+
+    def always_fail(**kwargs):
+        calls["n"] += 1
+        raise ConnectionError("down")
+
+    fake.init = always_fail
+    got = trainer_mod.init_wandb(cfg, "/tmp", retries=4, sleep_s=0.0)
+    assert got is None and calls["n"] == 4
