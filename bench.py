@@ -97,6 +97,13 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 4),
+        # breakdown (machine-readable; the stderr comment is for humans)
+        "no_rg_ms": round(t_norg * 1e3, 1),
+        "rg_ms": round(t_rg * 1e3, 1),
+        "mixed_ms": round(t_mixed * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "psnr": round(psnr, 2),
+        "chips": n_chips,
     }
     print(json.dumps(result))
     print(

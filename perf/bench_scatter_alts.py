@@ -37,16 +37,27 @@ sys.path.insert(0, ".")
 from emernerf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 ITERS = 6
+# loop reps INSIDE the jitted fn: the axon remote backend has a fixed
+# ~10-20ms dispatch+fetch overhead per call, which dominates 20ms-scale
+# measurements.  We time at reps=REPS_HI and reps=REPS_LO and report the
+# SLOPE (marginal per-rep cost), cancelling the fixed overhead.
+REPS_LO = 2
+REPS_HI = 10
 
 
-def _time(fn, *args) -> float:
-    float(fn(*args))
-    ts = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
+def _time(make_run, *args) -> float:
+    """make_run(reps) -> jitted fn; returns marginal seconds per rep."""
+    ts = {}
+    for reps in (REPS_LO, REPS_HI):
+        fn = make_run(reps)
         float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        samples = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            samples.append(time.perf_counter() - t0)
+        ts[reps] = float(np.median(samples))
+    return (ts[REPS_HI] - ts[REPS_LO]) / (REPS_HI - REPS_LO)
 
 
 def make_inputs(n, t, w, seed=0):
