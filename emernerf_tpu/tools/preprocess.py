@@ -16,8 +16,11 @@ waymo_preprocess.py:96-203); a simple pinhole projection replaces the
 reference's TF `py_camera_model_ops.world_to_image` (global-shutter
 approximation — documented divergence).
 
-Requires ``tensorflow`` and ``waymo_open_dataset`` to parse TFRecords; both
-are data-prep-environment dependencies, not TPU-image ones.
+TFRecord parsing uses ``tensorflow`` + ``waymo_open_dataset`` when they are
+installed (data-prep environments), and otherwise falls back to the
+self-contained pure-Python wire codec in
+``emernerf_tpu/tools/waymo_wire.py`` — so the tool also runs in the TPU
+image, which ships neither.
 """
 
 from __future__ import annotations
@@ -215,18 +218,36 @@ class WaymoProcessor:
                 pool.map(self.convert_one, self.scene_list)
 
     # ------------------------------------------------------------------ #
-    def convert_one(self, scene_idx: int):
+    @staticmethod
+    def _open_tfrecord(tfrecord: str):
+        """(frame iterator, frame_utils-like module) for one TFRecord.
+
+        Prefers ``tensorflow`` + ``waymo_open_dataset`` (the reference's
+        parsing stack, waymo_preprocess.py:21-23); falls back to the
+        dependency-free wire codec in waymo_wire.py when they are absent.
+        """
         try:
             import tensorflow as tf
             from waymo_open_dataset import dataset_pb2
             from waymo_open_dataset.utils import frame_utils
-        except ImportError as e:
-            raise ImportError(
-                "Preprocessing requires `tensorflow` and "
-                "`waymo-open-dataset-tf-*`; run this tool in a data-prep "
-                "environment, not the TPU training image."
-            ) from e
 
+            def frames():
+                dataset = tf.data.TFRecordDataset(tfrecord, compression_type="")
+                for data in dataset:
+                    frame = dataset_pb2.Frame()
+                    frame.ParseFromString(bytearray(data.numpy()))
+                    yield frame
+
+            return frames(), frame_utils
+        except ImportError:
+            from emernerf_tpu.tools import waymo_wire
+
+            return (
+                waymo_wire.parse_frame(rec)
+                for rec in waymo_wire.read_tfrecords(tfrecord)
+            ), waymo_wire
+
+    def convert_one(self, scene_idx: int):
         tfrecord = os.path.join(
             self.load_dir, f"{self.scene_names[scene_idx]}.tfrecord"
         )
@@ -235,10 +256,8 @@ class WaymoProcessor:
                     "lidar", "dynamic_masks"):
             os.makedirs(os.path.join(out, sub), exist_ok=True)
 
-        dataset = tf.data.TFRecordDataset(tfrecord, compression_type="")
-        for t, data in enumerate(dataset):
-            frame = dataset_pb2.Frame()
-            frame.ParseFromString(bytearray(data.numpy()))
+        frames, frame_utils = self._open_tfrecord(tfrecord)
+        for t, frame in enumerate(frames):
             self._save_images(frame, out, t)
             if t == 0:
                 self._save_calib(frame, out)

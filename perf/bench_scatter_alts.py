@@ -75,20 +75,31 @@ def report(name, n, w, sec):
     )
 
 
+def _reps_loop(reps, body):
+    """fori_loop(0, reps, ...) accumulating a scalar to defeat DCE."""
+
+    @jax.jit
+    def run(*args):
+        return jax.lax.fori_loop(
+            0, reps, lambda i, acc: acc + body(i, *args), jnp.zeros(())
+        )
+
+    return run
+
+
 # ------------------------------------------------------------------ #
 def case_base(n, t, w, dtype=jnp.float32, tag=""):
     rows, upd = make_inputs(n, t, w)
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
+    def make_run(reps):
+        def body(i, rows, upd):
             buf = jnp.zeros((t, w), dtype)
             buf = buf.at[(rows + i) % t].add(upd.astype(dtype))
-            return acc + buf.astype(jnp.float32).sum()
+            return buf.astype(jnp.float32).sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"base{tag} N={n} W={w} T={t} {jnp.dtype(dtype).name}", n, w, sec)
     return sec
 
@@ -96,20 +107,19 @@ def case_base(n, t, w, dtype=jnp.float32, tag=""):
 def case_sorted(n, t, w):
     rows, upd = make_inputs(n, t, w)
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
+    def make_run(reps):
+        def body(i, rows, upd):
             r = (rows + i) % t
             order = jnp.argsort(r)
             rs = jnp.take(r, order)
             us = jnp.take(upd, order, axis=0)
             buf = jnp.zeros((t, w), jnp.float32)
             buf = buf.at[rs].add(us, indices_are_sorted=True)
-            return acc + buf.sum()
+            return buf.sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"sorted N={n} W={w} T={t}", n, w, sec)
     return sec
 
@@ -119,16 +129,15 @@ def case_sorted_presort(n, t, w):
     rows, upd = make_inputs(n, t, w)
     rows = jnp.sort(rows)
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
+    def make_run(reps):
+        def body(i, rows, upd):
             buf = jnp.zeros((t, w), jnp.float32)
             buf = buf.at[rows].add(upd + i, indices_are_sorted=True)
-            return acc + buf.sum()
+            return buf.sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"presorted N={n} W={w} T={t}", n, w, sec)
     return sec
 
@@ -140,16 +149,15 @@ def case_merged(n_per_level, t, w, levels=10):
     lvl_off = (jnp.arange(n, dtype=jnp.int32) // n_per_level) * t
     rows = rows + lvl_off
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
+    def make_run(reps):
+        def body(i, rows, upd):
             buf = jnp.zeros((t * levels, w), jnp.float32)
-            buf = buf.at[rows].add(upd + i)
-            return acc + buf.sum()
+            buf = buf.at[(rows + i) % (t * levels)].add(upd)
+            return buf.sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"merged L={levels} N={n} W={w}", n, w, sec)
     return sec
 
@@ -158,14 +166,14 @@ def case_onehot(n, t, w, chunk=65536):
     """Dense one-hot einsum over N chunks: grad[t] = sum_n 1[rows==t]*upd."""
     rows, upd = make_inputs(n, t, w)
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
+    def make_run(reps):
+        def body(i, rows, upd):
             def chunk_body(c, buf):
                 r = jax.lax.dynamic_slice(rows, (c * chunk,), (chunk,))
                 u = jax.lax.dynamic_slice(upd, (c * chunk, 0), (chunk, w))
                 oh = (
-                    r[:, None] == jnp.arange(t, dtype=jnp.int32)[None, :]
+                    (r + i)[:, None] % t
+                    == jnp.arange(t, dtype=jnp.int32)[None, :]
                 ).astype(jnp.bfloat16)
                 return buf + jax.lax.dot_general(
                     oh.T, u.astype(jnp.bfloat16),
@@ -176,11 +184,11 @@ def case_onehot(n, t, w, chunk=65536):
             buf = jax.lax.fori_loop(
                 0, n // chunk, chunk_body, jnp.zeros((t, w), jnp.float32)
             )
-            return acc + buf.sum() + i
+            return buf.sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"onehot N={n} W={w} T={t}", n, w, sec)
     return sec
 
@@ -220,14 +228,13 @@ def case_pallas_onehot(n, t, w, tile_n=2048):
         out_shape=jax.ShapeDtypeStruct((t, w), jnp.float32),
     )
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
-            return acc + f(rows, upd + i).sum()
+    def make_run(reps):
+        def body(i, rows, upd):
+            return f(rows, upd + i).sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"pallas_onehot N={n} W={w} T={t}", n, w, sec)
     return sec
 
@@ -237,19 +244,18 @@ def case_sub4(n, t, w, k=4):
     rows, upd = make_inputs(n, t, w)
     m = n // k
 
-    @jax.jit
-    def run(rows, upd):
-        def body(i, acc):
-            sel = i + k * jnp.arange(m, dtype=jnp.int32)
+    def make_run(reps):
+        def body(i, rows, upd):
+            sel = (i % k) + k * jnp.arange(m, dtype=jnp.int32)
             r = jnp.take(rows, sel)
             u = jnp.take(upd, sel, axis=0) * float(k)
             buf = jnp.zeros((t, w), jnp.float32)
             buf = buf.at[r].add(u)
-            return acc + buf.sum()
+            return buf.sum()
 
-        return jax.lax.fori_loop(0, 2, body, jnp.zeros(()))
+        return _reps_loop(reps, body)
 
-    sec = _time(run, rows, upd) / 2
+    sec = _time(make_run, rows, upd)
     report(f"sub{k} N={n}->{m} W={w} T={t}", n, w, sec)
     return sec
 
