@@ -147,11 +147,16 @@ def create_or_load_metas(cfg: ConfigNode):
 
     try:
         from nuscenes.nuscenes import NuScenes
-    except ImportError as e:
-        raise ImportError(
-            "NuScenes support requires the `nuscenes-devkit` package (only "
-            "to build the meta cache; cached scenes load without it)."
-        ) from e
+    except ImportError:
+        # dependency-free reader of the same on-disk table layout
+        # (emernerf_tpu/data/nuscenes_devkit_lite.py)
+        from emernerf_tpu.data.nuscenes_devkit_lite import (
+            NuScenesLite as NuScenes,
+        )
+
+        logger.info(
+            "nuscenes-devkit not installed; using the built-in table reader"
+        )
     nusc = NuScenes(
         version=data_cfg.get("nuscenes_version", "v1.0-trainval"),
         dataroot=data_cfg.data_root,

@@ -289,11 +289,17 @@ def main():
         case_sorted(N, 1 << 17, 108)
         case_sorted_presort(N, 1 << 17, 108)
     if want("merged"):
-        case_merged(N, 1 << 15, 432, levels=10)
+        case_merged(N, 1 << 15, 108, levels=10)
     if want("onehot"):
         case_onehot(N, 512, 108)
         case_onehot(N, 4096, 108)
         case_onehot(N, 4096, 432)
+    if want("onehot2"):
+        case_onehot(N, 8192, 108)
+        case_onehot(N, 16384, 108)
+        case_onehot(N, 2048, 432)
+        case_onehot(N, 8192, 432)
+        case_onehot(NW, 4096, 432)
     if want("pallas"):
         case_pallas_onehot(N, 512, 108)
         case_pallas_onehot(N, 4096, 108)
