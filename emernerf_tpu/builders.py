@@ -69,6 +69,8 @@ def make_grid_spec(
             scatter_mode=perf.get("scatter_mode", "wide"),
             reduce_mode=perf.get("reduce_mode", "unroll"),
             posgrad_mode=perf.get("posgrad_mode", "fwd"),
+            onehot_budget=int(perf.get("onehot_budget", 1 << 19)),
+            grad_subsample=int(perf.get("grad_subsample", 1)),
         )
     raise ValueError(f"Unknown grid backend: {backend}")
 

@@ -104,6 +104,20 @@ class BrickGridSpec:
     # "regather" = re-gather rows in the backward (frugal residuals,
     # ~42M extra rows/step at the reference workload).
     posgrad_mode: str = "fwd"
+    # table grads of DENSE levels whose slice is small take the one-hot
+    # MXU route instead of a scatter-add when
+    # level_rows * row_width <= onehot_budget (exact same math, fp32
+    # accumulation; measured on v5e: T=512/W=108 816M rows/s vs the 72M
+    # scatter wall, T=4096 167M, two bf16 passes -> budget 2^19 stays strictly faster than the scatter at all widths —
+    # perf/bench_scatter_alts.py).  0 disables.
+    onehot_budget: int = 1 << 19
+    # scatter table grads of HASHED levels from a 1/k strided point
+    # subsample, scaled by k (unbiased in expectation; the stride phase is
+    # derived from the batch's position bits so it varies per step).
+    # Measured: k=4 1.7-2.0x, k=8 3.5x on the fused-grid scatter.  An
+    # APPROXIMATION — quality-gated by tests/test_brickgrid.py parity
+    # runs; 1 disables (default).
+    grad_subsample: int = 1
 
     @property
     def scatter(self) -> str:
@@ -116,6 +130,14 @@ class BrickGridSpec:
     @property
     def posgrad(self) -> str:
         return _env_override("EMERNERF_POSGRAD", self.posgrad_mode)
+
+    @property
+    def onehot(self) -> int:
+        return int(_env_override("EMERNERF_ONEHOT", str(self.onehot_budget)))
+
+    @property
+    def grad_sub(self) -> int:
+        return int(_env_override("EMERNERF_GRAD_SUB", str(self.grad_subsample)))
 
     @property
     def brick_cells(self) -> int:
@@ -216,6 +238,26 @@ class BrickGridSpec:
                 cells *= int(self.level_resolutions[len(out)])
             out.append(cells > b)
         return np.asarray(out, dtype=bool)
+
+    @cached_property
+    def level_rows(self) -> np.ndarray:
+        """Addressable rows per level: the dense brick-grid size for dense
+        levels, the full table slice for hashed ones.  Unpaired 4D levels
+        also address time slot ``t+1`` (the upper lerp corner), hence the
+        ``res + 1`` time count — those top rows wrap into the slice via
+        the row mask in scatter mode, but a one-hot contraction must cover
+        them explicitly."""
+        b = self.bricks_per_level
+        out = []
+        for li, r in enumerate(self.brick_resolutions):
+            cells = int(r) ** self.spatial_dims
+            if self.has_time:
+                t_count = int(self.level_resolutions[li])
+                if not self.uses_time_pair:
+                    t_count += 1
+                cells *= t_count
+            out.append(min(cells, b))
+        return np.asarray(out, dtype=np.int64)
 
 
 def init_brickgrid_table(key, spec: BrickGridSpec, dtype=jnp.float32,
@@ -427,6 +469,46 @@ def _reduce_row_lane(spec, axes, feats, prev=None):
     return (feats * wrow).sum(axis=1)[:, None].astype(jnp.float32)
 
 
+def _onehot_rows_grad(rset, upd, t_eff: int, chunk: int = 65536):
+    """(N,) rows + (N, W) fp32 updates -> (t_eff, W) fp32 dense grad.
+
+    grad[t] = sum_n 1[rows_n == t] * upd_n, evaluated as chunked one-hot
+    contractions on the MXU with fp32 accumulation — measured 816M rows/s
+    at T=512 / 167M at T=4096 vs the ~45-72M rows/s XLA scatter-add wall
+    (perf/bench_scatter_alts.py).  The fp32 updates are split into
+    hi + lo bf16 components (two MXU passes; the one-hot operand is exact
+    in bf16), so the result matches the scatter to ~2^-16 relative — the
+    grad-parity unit tests hold at their fp32 tolerances."""
+    n, width = upd.shape
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        # padded rows point at t_eff, which matches no one-hot column
+        rset = jnp.concatenate(
+            [rset, jnp.full((pad,), t_eff, rset.dtype)]
+        )
+        upd = jnp.concatenate([upd, jnp.zeros((pad, width), upd.dtype)])
+    nc = (n + pad) // chunk
+    cols = jnp.arange(t_eff, dtype=jnp.int32)
+
+    def body(c, buf):
+        r = jax.lax.dynamic_slice(rset, (c * chunk,), (chunk,))
+        u = jax.lax.dynamic_slice(upd, (c * chunk, 0), (chunk, width))
+        oh = (r[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        hi = u.astype(jnp.bfloat16)
+        lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for part in (hi, lo):
+            buf = buf + jax.lax.dot_general(
+                oh.T, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return buf
+
+    return jax.lax.fori_loop(
+        0, nc, body, jnp.zeros((t_eff, width), jnp.float32)
+    )
+
+
 def _reduce_row(feats, weights, f, mode="unroll"):
     """(N, CF) gathered rows x (C, N) corner weights -> (N, F).
 
@@ -602,6 +684,16 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
     d_pos_parts = [jnp.zeros((n,), jnp.float32) for _ in range(d)]
     lanes = np.arange(width, dtype=np.int32)
 
+    # stride phase for grad_subsample: derived from the batch's position
+    # bits so it varies per training step without threading an RNG key
+    # through the custom VJP (positions are freshly sampled every step)
+    sub_phase = None
+    if spec.grad_sub > 1:
+        bits = jax.lax.bitcast_convert_type(x[0, 0], jnp.uint32)
+        sub_phase = (
+            (bits >> jnp.uint32(9)) % jnp.uint32(spec.grad_sub)
+        ).astype(jnp.int32)
+
     prev = None
     for lvl in range(spec.n_levels):
         rows, axes, t_frac = _level_geometry(
@@ -617,38 +709,71 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
         g_row = gl[:, lvl, :]  # (N, F)
         tws = (1.0 - t_frac, t_frac) if spec.has_time else (None,)
 
-        # ---- table gradient: ONE (N, 27F)-row scatter per (level, slice)
-        # into a per-level buffer — wide-row scatter-add is the measured
-        # -fastest XLA formulation at training N (perf/microbench.py:
-        # ~42-52M rows/s vs 108x more narrow rows for "flat")
-        if mode == "flat":
-            d_lvl = jnp.zeros((b * width,), jnp.float32)
-        else:
-            d_lvl = jnp.zeros((b, width), jnp.float32)
+        # ---- table gradient.  Three measured formulations per level
+        # (perf/bench_scatter_alts.py):
+        #   * one-hot MXU contraction for DENSE levels with small slices
+        #     (exact; up to 11x the scatter wall);
+        #   * wide (N, 27F)-row scatter-add otherwise (~45-72M rows/s);
+        #     hashed levels optionally scatter a 1/k strided subsample
+        #     scaled by k (grad_subsample, quality-gated approximation);
+        #   * "flat" narrow per-lane scatters (tests/tiny models).
+        lvl_rows_eff = int(spec.level_rows[lvl])
+        use_onehot = (
+            spec.onehot > 0
+            and not uses_hash[lvl]
+            and lvl_rows_eff * width <= spec.onehot
+        )
+        k_sub = spec.grad_sub
+        if use_onehot or not uses_hash[lvl] or k_sub <= 1 or n < 2 * k_sub:
+            k_sub = 1
+
+        s_rows, s_axes, s_tfrac, s_grow = rows, axes, t_frac, g_row
+        if k_sub > 1:
+            # subsample the 1D INPUTS (rows/offsets/fractions/cotangents),
+            # not the built (N, 27F) update rows — the weight-row outer
+            # product is then only computed for the kept points
+            m = n // k_sub
+            sel = sub_phase + jnp.arange(m, dtype=jnp.int32) * k_sub
+            s_rows = tuple(jnp.take(r, sel) for r in rows)
+            s_axes = [
+                (jnp.take(o, sel), jnp.take(fr, sel)) for o, fr in axes
+            ]
+            s_tfrac = jnp.take(t_frac, sel) if t_frac is not None else None
+            s_grow = jnp.take(g_row, sel, axis=0) * float(k_sub)
+
+        s_tws = (1.0 - s_tfrac, s_tfrac) if spec.has_time else (None,)
         if spec.uses_time_pair:
-            # ONE (N, 2*27F)-row scatter: both time corners' updates side
+            # ONE (N, 2*27F)-row update: both time corners' updates side
             # by side, matching the paired row layout; time lerp weights
             # are folded into the weight-row outer product (no lane concat)
-            wrow_pair = _weights_row(spec, axes, f, jnp.float32, t_frac)
-            upds = [wrow_pair * _g_lanes(g_row, 2 * cpb)]
+            wrow_pair = _weights_row(spec, s_axes, f, jnp.float32, s_tfrac)
+            upds = [wrow_pair * _g_lanes(s_grow, 2 * cpb)]
         else:
-            # per-slice scatters (merging doubles the live fp32 update
-            # buffer — measured OOM); one wide row scatter per slice
-            g_tiled = _g_lanes(g_row, cpb)  # (N, 27F)
-            wrow = _weights_row(spec, axes, f, jnp.float32)  # (N, 27F)
+            # per-slice updates (merging doubles the live fp32 update
+            # buffer — measured OOM); one wide row per slice
+            g_tiled_s = _g_lanes(s_grow, cpb)  # (N, 27F)
+            wrow = _weights_row(spec, s_axes, f, jnp.float32)  # (N, 27F)
             upds = []
-            for tw in tws:
-                upd = wrow * g_tiled  # (N, 27F)
+            for tw in s_tws:
+                upd = wrow * g_tiled_s  # (N, 27F)
                 if tw is not None:
                     upd = upd * tw[:, None]
                 upds.append(upd)
-        for rset, upd in zip(rows, upds):
-            if mode == "flat":
+        if use_onehot:
+            d_lvl = jnp.zeros((lvl_rows_eff, width), jnp.float32)
+            for rset, upd in zip(s_rows, upds):
+                d_lvl = d_lvl + _onehot_rows_grad(rset, upd, lvl_rows_eff)
+            d_lvl = jnp.pad(d_lvl, ((0, b - lvl_rows_eff), (0, 0)))
+        elif mode == "flat":
+            d_lvl = jnp.zeros((b * width,), jnp.float32)
+            for rset, upd in zip(s_rows, upds):
                 idx = rset[:, None] * jnp.int32(width) + lanes[None, :]
                 d_lvl = d_lvl.at[idx.reshape(-1)].add(upd.reshape(-1))
-            else:  # wide
+            d_lvl = d_lvl.reshape(b, width)
+        else:  # wide
+            d_lvl = jnp.zeros((b, width), jnp.float32)
+            for rset, upd in zip(s_rows, upds):
                 d_lvl = d_lvl.at[rset].add(upd)
-        d_lvl = d_lvl.reshape(b, width)
         # cast per-level grads to the table dtype BEFORE the concatenate:
         # the final d_table is cast anyway, and concatenating fp32 buffers
         # first costs a materialized full-size fp32 copy (measured

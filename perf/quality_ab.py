@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Flagship-scale quality A/B on the real TPU chip (VERDICT round-1 #2).
+
+Trains the full dynamic+flow flagship configuration on the synthetic
+driving scene for --steps optimizer iterations per variant and records the
+smoothed training PSNR / range RMSE trajectory, so every TPU-first
+divergence that is ON by default has a measured dB cost at a scale where
+hash collisions and the lr schedule actually bite (the round-1 gate was 60
+steps of a tiny model).
+
+Variants (vs the default brick + fused + topk16 + no-subsample):
+  base        defaults
+  topk0       temporal_agg_topk=0 (reference semantics: warp every sample)
+  sub4/sub8   grad_subsample=4/8 (stochastic fine-level table grads)
+  nofuse      separate dynamic/flow grids (reference table layout)
+  timepair0   unpaired 4D rows
+Writes perf/QUALITY_r02.json (merged across invocations, so variants can
+run in separate processes / sessions).
+
+Usage: python perf/quality_ab.py --variant base --steps 2000
+       python perf/quality_ab.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+VARIANTS = {
+    "base": [],
+    "topk0": ["nerf.model.head.temporal_agg_topk=0"],
+    "sub4": ["nerf.model.perf.grad_subsample=4"],
+    "sub8": ["nerf.model.perf.grad_subsample=8"],
+    "nofuse": ["nerf.model.fuse_flow_grid=false"],
+    "timepair0": [],  # handled via spec rebuild below
+    "onehot0": ["nerf.model.perf.onehot_budget=0"],
+}
+
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "QUALITY_r02.json")
+
+
+def run_variant(name: str, steps: int, eval_window: int = 50,
+                record_every: int = 100):
+    import jax
+
+    from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
+    from emernerf_tpu.flagship import build_flagship
+    from emernerf_tpu.train.step import build_train_step, init_train_state
+    from emernerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    overrides = VARIANTS[name]
+    cfg, dataset, model, prop_models, step_cfg = build_flagship(
+        overrides=overrides
+    )
+    if name == "timepair0":
+        import dataclasses
+
+        model = model.clone(
+            dynamic_spec=dataclasses.replace(
+                model.dynamic_spec, time_pair=False
+            )
+        )
+    scene = dataset.scene_tensors()
+    key = jax.random.PRNGKey(0)
+    ray_batch = cfg.data.ray_batch_size
+
+    @jax.jit
+    def make_batches(scene, key):
+        k1, k2 = jax.random.split(key)
+        return (
+            sample_pixel_batch(scene, k1, ray_batch, use_timestamps=True),
+            sample_lidar_batch(scene, k2, ray_batch),
+        )
+
+    pixel_batch, lidar_batch = make_batches(scene, key)
+    state = init_train_state(model, prop_models, step_cfg, key, pixel_batch)
+    step_fn = build_train_step(model, prop_models, step_cfg)
+
+    t0 = time.time()
+    psnrs, rmses, curve = [], [], []
+    for it in range(steps):
+        key, k_b, k_s = jax.random.split(key, 3)
+        pixel_batch, lidar_batch = make_batches(scene, k_b)
+        rg = it < 512 or it % 5 == 0
+        state, m = step_fn(state, pixel_batch, lidar_batch, k_s,
+                           pixel_rg=rg, lidar_rg=rg)
+        psnrs.append(m["psnr"])
+        rmses.append(m["range_rmse"])
+        if (it + 1) % record_every == 0:
+            # fetch a window median (one device->host sync per record)
+            w = [float(p) for p in psnrs[-eval_window:]]
+            r = [float(p) for p in rmses[-eval_window:]]
+            curve.append(
+                {
+                    "step": it + 1,
+                    "psnr": round(float(np.median(w)), 3),
+                    "range_rmse": round(float(np.median(r)), 3),
+                }
+            )
+            print(f"[{name}] {it + 1}/{steps}  psnr {curve[-1]['psnr']:.2f} "
+                  f"rmse {curve[-1]['range_rmse']:.2f}", flush=True)
+            psnrs, rmses = [], []
+    wall = time.time() - t0
+
+    result = {
+        "steps": steps,
+        "wall_s": round(wall, 1),
+        "ms_per_step": round(wall / steps * 1e3, 1),
+        "final_psnr": curve[-1]["psnr"] if curve else None,
+        "final_range_rmse": curve[-1]["range_rmse"] if curve else None,
+        "curve": curve,
+    }
+    merged = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            merged = json.load(f)
+    merged[name] = result
+    with open(OUT_PATH, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps({name: {k: v for k, v in result.items() if k != "curve"}}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="base")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+    if args.list:
+        print(" ".join(VARIANTS))
+        return
+    run_variant(args.variant, args.steps)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)

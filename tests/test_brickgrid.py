@@ -265,3 +265,114 @@ def test_brick_vs_hash_psnr_parity():
     assert psnr_brick > psnr_hash - 1.5, (
         f"brick quality gap too large: {psnr_brick:.2f} vs {psnr_hash:.2f}"
     )
+
+
+# --------------------------------------------------------------------------
+# one-hot MXU table grads + stochastic grad subsampling (round-2 scatter
+# replacements, perf/bench_scatter_alts.py)
+# --------------------------------------------------------------------------
+# 4D specs with big enough tables that coarse levels stay DENSE (the
+# default SPEC4/SPEC4_TP are fully hashed, which would make the one-hot
+# parity test vacuous)
+SPEC4_DENSE = BrickGridSpec(4, 3, 8, 32, 12, 2)
+SPEC4_TP_DENSE = BrickGridSpec(4, 3, 8, 32, 12, 2, time_pair=True)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [SPEC3, SPEC3_B4, SPEC4_DENSE, SPEC4_TP_DENSE],
+    ids=["3d", "3d_b4", "4d_dense", "4d_tpair_dense"],
+)
+def test_onehot_grad_matches_scatter(spec, monkeypatch):
+    """Dense small levels' one-hot MXU grads equal the scatter-add grads
+    (hi/lo bf16-split accumulation: ~2^-16 relative)."""
+    table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, spec.n_input_dims))
+    g = jax.random.normal(jax.random.PRNGKey(2), (64, spec.n_output_dims))
+
+    def table_grad():
+        return jax.grad(
+            lambda tab: (brickgrid_encode(tab, x, spec) * g).sum()
+        )(table)
+
+    assert any(
+        not h and int(r) * spec.row_width <= spec.onehot_budget
+        for h, r in zip(spec.level_uses_hash, spec.level_rows)
+    ), "spec has no one-hot-eligible level; test is vacuous"
+    monkeypatch.setenv("EMERNERF_ONEHOT", "0")
+    g_scatter = np.asarray(table_grad())
+    monkeypatch.delenv("EMERNERF_ONEHOT")
+    g_onehot = np.asarray(table_grad())
+    np.testing.assert_allclose(g_onehot, g_scatter, rtol=1e-4, atol=1e-5)
+
+
+def test_grad_subsample_scaling_and_mass():
+    """grad_subsample keeps the total gradient mass exact (each point
+    contributes total corner weight 1 per level), while actually changing
+    which rows receive it."""
+    import dataclasses
+
+    base = dataclasses.replace(SPEC3, onehot_budget=0)
+    sub = dataclasses.replace(base, grad_subsample=2)
+    table = init_brickgrid_table(jax.random.PRNGKey(0), base, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    ones = jnp.ones((128, base.n_output_dims))
+
+    def table_grad(spec):
+        return np.asarray(
+            jax.grad(
+                lambda tab: (brickgrid_encode(tab, x, spec) * ones).sum()
+            )(table)
+        )
+
+    g_full = table_grad(base)
+    g_sub = table_grad(sub)
+    b = base.bricks_per_level
+    for lvl in range(base.n_levels):
+        m_full = g_full[lvl * b : (lvl + 1) * b].sum()
+        m_sub = g_sub[lvl * b : (lvl + 1) * b].sum()
+        # per level: total mass == n * F exactly, subsampled or not
+        np.testing.assert_allclose(m_full, 128 * base.n_features_per_level,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(m_sub, m_full, rtol=1e-4)
+    # the hashed levels' grads must differ (the path really subsampled)
+    hashed = np.flatnonzero(base.level_uses_hash)
+    assert hashed.size > 0
+    lvl = int(hashed[0])
+    assert not np.allclose(
+        g_full[lvl * b : (lvl + 1) * b], g_sub[lvl * b : (lvl + 1) * b]
+    )
+    # ... and dense levels' grads must NOT (subsample applies to hashed only)
+    dense = np.flatnonzero(~base.level_uses_hash)
+    if dense.size:
+        lvl = int(dense[0])
+        np.testing.assert_allclose(
+            g_full[lvl * b : (lvl + 1) * b],
+            g_sub[lvl * b : (lvl + 1) * b],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_grad_subsample_identical_points_exact():
+    """With every point identical, any stride subsample scaled by k gives
+    exactly the full gradient."""
+    import dataclasses
+
+    sub = dataclasses.replace(SPEC4_TP, onehot_budget=0, grad_subsample=4)
+    base = dataclasses.replace(SPEC4_TP, onehot_budget=0)
+    table = init_brickgrid_table(jax.random.PRNGKey(0), base, scale=1.0)
+    x = jnp.tile(jnp.asarray([[0.3, 0.6, 0.2, 0.45]]), (64, 1))
+    g = jnp.tile(
+        jax.random.normal(jax.random.PRNGKey(2), (1, base.n_output_dims)),
+        (64, 1),
+    )
+
+    def table_grad(spec):
+        return np.asarray(
+            jax.grad(
+                lambda tab: (brickgrid_encode(tab, x, spec) * g).sum()
+            )(table)
+        )
+
+    np.testing.assert_allclose(table_grad(sub), table_grad(base),
+                               rtol=1e-4, atol=1e-5)
