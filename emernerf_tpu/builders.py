@@ -253,6 +253,8 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         near_plane=cfg.nerf.propnet.near_plane,
         far_plane=cfg.nerf.propnet.far_plane,
         sampling_type=cfg.nerf.propnet.sampling_type,
+        sample_topk=int(cfg.nerf.sampling.get("sample_topk", 0)),
+        sample_topk_temp=float(cfg.nerf.sampling.get("sample_topk_temp", 0.0)),
         enable_anti_aliasing=cfg.nerf.propnet.enable_anti_aliasing_level_loss,
         pulse_widths=tuple(cfg.nerf.propnet.anti_aliasing_pulse_width),
         rgb_loss_type=sup.rgb.loss_type,

@@ -45,7 +45,16 @@ class ImageRenderer:
         sampling_type: str = "uniform_lindisp",
         chunk_size: int = 16384,
         return_decomposition: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — eval chunks are sharded
+        across its data axis (parallel/mesh.py:shard_render_chunk);
+        chunk_size must divide evenly by the mesh size."""
+        if mesh is not None and chunk_size % mesh.size != 0:
+            raise ValueError(
+                f"chunk_size {chunk_size} not divisible by mesh size "
+                f"{mesh.size}"
+            )
         self.chunk_size = chunk_size
 
         def _render_chunk(params, prop_params, rays, key):
@@ -61,6 +70,10 @@ class ImageRenderer:
             return out
 
         self._render_chunk = jax.jit(_render_chunk)
+        if mesh is not None:
+            from emernerf_tpu.parallel.mesh import shard_render_chunk
+
+            self._render_chunk = shard_render_chunk(self._render_chunk, mesh)
 
         def _render_chunk_lidar(params, prop_params, rays, key):
             out, _, _ = render_ray_batch(
@@ -74,6 +87,12 @@ class ImageRenderer:
             return out
 
         self._render_chunk_lidar = jax.jit(_render_chunk_lidar)
+        if mesh is not None:
+            from emernerf_tpu.parallel.mesh import shard_render_chunk
+
+            self._render_chunk_lidar = shard_render_chunk(
+                self._render_chunk_lidar, mesh
+            )
 
     # ---------------------------------------------------------------- #
     def render_rays_chunked(

@@ -54,3 +54,22 @@ def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
         )
 
     return wrapped
+
+
+def shard_render_chunk(render_chunk, mesh: Mesh, axis_name: str = "data"):
+    """Wrap a jitted eval render-chunk fn (eval/renderer.py:ImageRenderer)
+    with explicit shardings: params replicated, the fixed-size ray chunk
+    sharded on its leading axis.  Rendering is embarrassingly parallel
+    across rays — no collective is needed; each chip renders its slice of
+    the chunk and outputs stay sharded until the host gathers them."""
+    rep = replicated_sharding(mesh)
+    shard = batch_sharding(mesh, axis_name)
+
+    def wrapped(params, prop_params, rays, key):
+        params = jax.device_put(params, rep)
+        prop_params = jax.device_put(prop_params, rep)
+        rays = jax.device_put(rays, shard)
+        key = jax.device_put(key, rep)
+        return render_chunk(params, prop_params, rays, key)
+
+    return wrapped

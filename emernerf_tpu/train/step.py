@@ -103,6 +103,16 @@ class TrainStepConfig:
     # the row count every gather/scatter amortizes over.  PSNR parity with
     # the two-pass formulation is asserted by tests/test_train.py.
     fused_branches: bool = False
+    # TPU-native empty-space skipping: evaluate the radiance field on only
+    # the top-K samples per ray ranked by the last proposal net's predicted
+    # contribution (render/renderer.py:_topk_sample_select), scattering
+    # outputs back to full (R, S).  The CUDA reference gets the same row
+    # reduction from nerfacc's occupancy-grid skip + early termination
+    # (dynamic shapes; impossible under XLA).  0 disables.
+    sample_topk: int = 0
+    # Gumbel temperature on the selection scores (>0 keeps pruned regions
+    # reachable by gradients, like nerfacc's periodic occupancy refresh)
+    sample_topk_temp: float = 0.0
 
 
 def _psnr(pred, gt):
@@ -156,6 +166,8 @@ def build_train_step(
         near_plane=cfg.near_plane,
         far_plane=cfg.far_plane,
         sampling_type=cfg.sampling_type,
+        sample_topk=cfg.sample_topk,
+        sample_topk_temp=cfg.sample_topk_temp,
     )
 
     # ---------------- pixel branch ---------------- #

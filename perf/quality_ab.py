@@ -41,6 +41,16 @@ VARIANTS = {
     "nofuse": ["nerf.model.fuse_flow_grid=false"],
     "timepair0": [],  # handled via spec rebuild below
     "onehot0": ["nerf.model.perf.onehot_budget=0"],
+    # top-K sample pruning (render/renderer.py:_topk_sample_select):
+    # K of the 64 final samples, gumbel temp 0.3 for exploration
+    "stopk32": ["nerf.sampling.sample_topk=32",
+                "nerf.sampling.sample_topk_temp=0.3"],
+    "stopk24": ["nerf.sampling.sample_topk=24",
+                "nerf.sampling.sample_topk_temp=0.3"],
+    # combined candidate default: pruning + stochastic fine-level grads
+    "stopk32sub4": ["nerf.sampling.sample_topk=32",
+                    "nerf.sampling.sample_topk_temp=0.3",
+                    "nerf.model.perf.grad_subsample=4"],
 }
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -58,8 +68,10 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
 
     enable_compilation_cache()
     overrides = VARIANTS[name]
+    # compressed-but-complete schedule: warmup (10%) and all four lr
+    # milestones (1/4, 1/2, 3/4, 9/10 of num_iters) land inside the run
     cfg, dataset, model, prop_models, step_cfg = build_flagship(
-        overrides=overrides
+        overrides=[f"optim.num_iters={steps}", *overrides]
     )
     if name == "timepair0":
         import dataclasses
@@ -109,12 +121,22 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
             print(f"[{name}] {it + 1}/{steps}  psnr {curve[-1]['psnr']:.2f} "
                   f"rmse {curve[-1]['range_rmse']:.2f}", flush=True)
             psnrs, rmses = [], []
+            # incremental write: a `timeout` kill mid-run (the queue wraps
+            # each variant in one) must not lose the curve-so-far
+            _write_result(name, steps, time.time() - t0, curve, partial=True)
     wall = time.time() - t0
+    result = _write_result(name, steps, wall, curve, partial=False)
+    print(json.dumps({name: {k: v for k, v in result.items() if k != "curve"}}))
 
+
+def _write_result(name, steps, wall, curve, partial):
     result = {
         "steps": steps,
+        "steps_done": curve[-1]["step"] if curve else 0,
+        "partial": partial,
         "wall_s": round(wall, 1),
-        "ms_per_step": round(wall / steps * 1e3, 1),
+        "ms_per_step": round(wall / max(curve[-1]["step"], 1) * 1e3, 1)
+        if curve else None,
         "final_psnr": curve[-1]["psnr"] if curve else None,
         "final_range_rmse": curve[-1]["range_rmse"] if curve else None,
         "curve": curve,
@@ -124,15 +146,17 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
         with open(OUT_PATH) as f:
             merged = json.load(f)
     merged[name] = result
-    with open(OUT_PATH, "w") as f:
+    tmp = OUT_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(merged, f, indent=1)
-    print(json.dumps({name: {k: v for k, v in result.items() if k != "curve"}}))
+    os.replace(tmp, OUT_PATH)
+    return result
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="base")
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
     if args.list:

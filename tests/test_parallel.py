@@ -86,6 +86,54 @@ def test_sharded_train_step_runs_and_is_finite(tiny_setup):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_sharded_eval_render_matches_single_device():
+    """Eval chunk rendering sharded over the 8-device mesh (VERDICT #7) must
+    bit-match the unsharded renderer: rays are embarrassingly parallel, so
+    sharding the chunk's leading axis may not change any output."""
+    import numpy as np
+
+    from emernerf_tpu.eval.renderer import ImageRenderer
+    from emernerf_tpu.models.fields import DensityField, RadianceField
+    from emernerf_tpu.ops.hashgrid import HashGridSpec
+
+    spec = HashGridSpec(3, 4, 4, 32, 8, 2)
+    aabb = (-10.0, -10.0, -10.0, 10.0, 10.0, 10.0)
+    model = RadianceField(
+        static_spec=spec, aabb=aabb, geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0,
+    )
+    prop = DensityField(spec=spec, aabb=aabb, base_mlp_layer_width=16)
+    r = 50  # not a multiple of the chunk size: exercises padding too
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(r, 3)).astype(np.float32)
+    rays = {
+        "origins": np.zeros((r, 3), np.float32),
+        "viewdirs": dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+    }
+    pos0 = jnp.zeros((r, 8, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), pos0, jnp.ones((r, 8, 3)), {}
+    )["params"]
+    pp = (prop.init(jax.random.PRNGKey(1), pos0)["params"],)
+
+    kw = dict(num_samples=8, prop_samples=(16,), chunk_size=32)
+    single = ImageRenderer(model, [prop], **kw)
+    sharded = ImageRenderer(model, [prop], mesh=make_mesh(8), **kw)
+    out_single = single.render_rays_chunked(params, pp, rays)
+    out_sharded = sharded.render_rays_chunked(params, pp, rays)
+    np.testing.assert_allclose(
+        out_sharded["rgb"], out_single["rgb"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out_sharded["depth"], out_single["depth"], rtol=1e-5, atol=1e-5
+    )
+
+    # indivisible chunk_size is rejected up front
+    with pytest.raises(ValueError):
+        ImageRenderer(model, [prop], chunk_size=50, mesh=make_mesh(8))
+
+
 @pytest.mark.slow
 def test_sharded_step_matches_single_device(tiny_setup):
     """The sharded step must compute the same update as the unsharded one

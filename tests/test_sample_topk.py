@@ -1,0 +1,166 @@
+"""Top-K sample pruning (render/renderer.py:_topk_sample_select).
+
+The TPU-native replacement for nerfacc's occupancy-grid empty-space skip:
+the field is queried at only the K samples/ray the last prop net ranks
+highest, and outputs scatter back to the full (R, S) grid so compositing
+and every loss are untouched."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emernerf_tpu.models.fields import DensityField, RadianceField
+from emernerf_tpu.ops.hashgrid import HashGridSpec
+from emernerf_tpu.render.renderer import (
+    _scatter_back,
+    _topk_sample_select,
+    render_ray_batch,
+)
+
+TINY3 = HashGridSpec(
+    n_input_dims=3, n_levels=4, base_resolution=4, max_resolution=32,
+    log2_hashmap_size=8, n_features_per_level=2,
+)
+AABB = (-10.0, -10.0, -10.0, 10.0, 10.0, 10.0)
+
+
+def _make_model_and_rays(r=16):
+    model = RadianceField(
+        static_spec=TINY3, aabb=AABB, geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0,
+    )
+    prop = DensityField(spec=TINY3, aabb=AABB, base_mlp_layer_width=16)
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(r, 3)).astype(np.float32)
+    rays = {
+        "origins": jnp.zeros((r, 3)),
+        "viewdirs": jnp.asarray(
+            dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        ),
+    }
+    pos0 = jnp.zeros((r, 8, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), pos0, jnp.ones((r, 8, 3)), {}
+    )["params"]
+    prop_params = prop.init(jax.random.PRNGKey(1), pos0)["params"]
+    return model, params, prop, prop_params, rays
+
+
+# --------------------------------------------------------------------- #
+def test_topk_select_is_ordered_exact_k():
+    """One-hot rows are t-ordered with exactly K ones, each a distinct
+    sample, concentrated where the proxy density is."""
+    r, s, k = 4, 16, 5
+    t = jnp.broadcast_to(jnp.linspace(1.0, 17.0, s + 1), (r, s + 1))
+    t_starts, t_ends = t[:, :-1], t[:, 1:]
+
+    peak = jnp.asarray([3, 7, 11, 2])  # per-ray densest sample
+
+    def prop_fn(ts, te):
+        mid = (ts + te) / 2
+        return jnp.exp(-((mid - (1.5 + peak[:, None])) ** 2))
+
+    onehot, w = _topk_sample_select(
+        jax.random.PRNGKey(0), prop_fn, t_starts, t_ends, k, temp=0.0
+    )
+    assert onehot.shape == (r, k, s)
+    np.testing.assert_array_equal(np.asarray(onehot.sum(axis=(1, 2))), k)
+    idx = np.asarray(jnp.argmax(onehot, axis=-1))  # (r, k)
+    for row in idx:
+        assert (np.diff(row) > 0).all(), row  # strictly increasing = sorted
+    # the proxy-densest sample must always be selected
+    for ri in range(r):
+        assert int(peak[ri]) in idx[ri]
+
+
+def test_scatter_back_roundtrip():
+    r, k, s = 3, 4, 10
+    keys = jax.random.split(jax.random.PRNGKey(0), r)
+    idx = jnp.sort(
+        jax.vmap(lambda kk: jax.random.permutation(kk, s)[:k])(keys), axis=-1
+    )
+    onehot = (idx[:, :, None] == jnp.arange(s)[None, None, :]).astype(
+        jnp.float32
+    )
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (r, k))
+    x3 = jax.random.normal(jax.random.PRNGKey(2), (r, k, 7))
+    out = _scatter_back({"a": x2, "b": x3, "c": jnp.zeros((r,))}, onehot, r, k)
+    assert out["a"].shape == (r, s)
+    assert out["b"].shape == (r, s, 7)
+    assert out["c"].shape == (r,)  # non-(R,K) leaves pass through
+    # selecting back recovers the values; off-mask entries are exactly 0
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("rks,rs->rk", onehot, out["a"])),
+        np.asarray(x2), rtol=1e-6,
+    )
+    mask = np.asarray(onehot.sum(axis=1))
+    np.testing.assert_array_equal(np.asarray(out["a"])[mask == 0], 0.0)
+
+
+def test_pruned_render_matches_full_when_k_covers_mass():
+    """With K large enough to cover every sample carrying weight, the
+    pruned render must match the full render closely (the dropped samples
+    are exactly the ones contributing ~nothing)."""
+    model, params, prop, prop_params, rays = _make_model_and_rays()
+    kw = dict(num_samples=8, prop_samples=(16,), train=True,
+              rngs=None, stratified=False)
+    out_full, _, _ = render_ray_batch(
+        model, params, [prop], [prop_params], rays, jax.random.PRNGKey(2),
+        **kw,
+    )
+    out_k, _, _ = render_ray_batch(
+        model, params, [prop], [prop_params], rays, jax.random.PRNGKey(2),
+        sample_topk=6, **kw,
+    )
+    assert out_k["rgb"].shape == out_full["rgb"].shape
+    assert bool(jnp.all(jnp.isfinite(out_k["rgb"])))
+    # 6-of-8 proposal-ranked samples: compositing differences come only
+    # from the 2 lowest-weight samples
+    diff = float(jnp.abs(out_k["opacity"] - out_full["opacity"]).max())
+    assert diff < 0.35, diff
+    # weights on pruned samples are exactly zero: opacity never increases
+    assert float((out_k["opacity"] - out_full["opacity"]).max()) <= 1e-5
+
+
+def test_pruned_render_grads_flow_to_tables():
+    model, params, prop, prop_params, rays = _make_model_and_rays()
+
+    def loss(p):
+        out, _, _ = render_ray_batch(
+            model, p, [prop], [prop_params], rays, jax.random.PRNGKey(2),
+            num_samples=8, prop_samples=(16,), sample_topk=4, train=True,
+        )
+        return jnp.sum(out["rgb"] ** 2)
+
+    g = jax.grad(loss)(params)
+    gsum = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)
+    )
+    assert np.isfinite(gsum) and gsum > 0.0
+    # the static grid table received gradient through the pruned query
+    flat = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(g)}
+    table_keys = [k for k in flat if "table" in k.lower()]
+    assert table_keys
+    assert any(float(jnp.abs(flat[k]).sum()) > 0 for k in table_keys)
+
+
+def test_topk_temp_explores():
+    """With a high Gumbel temperature the selection is no longer the
+    deterministic argmax set."""
+    r, s, k = 64, 16, 4
+    t = jnp.broadcast_to(jnp.linspace(1.0, 17.0, s + 1), (r, s + 1))
+
+    def prop_fn(ts, te):
+        mid = (ts + te) / 2
+        return jnp.exp(-((mid - 4.0) ** 2))
+
+    oh_a, _ = _topk_sample_select(
+        jax.random.PRNGKey(0), prop_fn, t[:, :-1], t[:, 1:], k, temp=5.0
+    )
+    oh_b, _ = _topk_sample_select(
+        jax.random.PRNGKey(1), prop_fn, t[:, :-1], t[:, 1:], k, temp=5.0
+    )
+    assert not np.array_equal(np.asarray(oh_a), np.asarray(oh_b))
