@@ -12,9 +12,12 @@ column layout, waymo_preprocess.py:630-699), and dynamic-object masks from
 (waymo_preprocess.py:721-818).  Range images are decoded to point clouds in
 numpy, including the per-pixel pose compensation for rolling lidar frames
 (the reference's compute_range_image_cartesian,
-waymo_preprocess.py:96-203); a simple pinhole projection replaces the
-reference's TF `py_camera_model_ops.world_to_image` (global-shutter
-approximation — documented divergence).
+waymo_preprocess.py:96-203); box projection reproduces the exact
+configuration the reference feeds `py_camera_model_ops.world_to_image`
+(GLOBAL_SHUTTER metadata + zero velocity/latency, waymo_preprocess.py:74-93)
+in numpy: vehicle->camera extrinsics, OpenCV radial-tangential lens
+distortion from the 9-coefficient Waymo intrinsics, pinhole scaling
+(`project_vehicle_points_to_image`).
 
 TFRecord parsing uses ``tensorflow`` + ``waymo_open_dataset`` when they are
 installed (data-prep environments), and otherwise falls back to the
@@ -166,9 +169,9 @@ def _range_image_to_points(range_image, extrinsic, inclination,
     return pts
 
 
-def _project_box_to_mask(mask, box, cam_intrinsic, cam_to_vehicle, img_hw):
-    """Rasterize a 3D box's image-plane bounding rect into a binary mask
-    (pinhole projection; the reference uses the TF camera model)."""
+def _box_corners_vehicle(box) -> np.ndarray:
+    """Upright 3D box -> (8, 3) corners in the vehicle frame
+    (box_utils.get_upright_3d_box_corners semantics)."""
     cx, cy, cz, length, width, height, heading = box
     c, s = np.cos(heading), np.sin(heading)
     corners = np.array(
@@ -178,22 +181,63 @@ def _project_box_to_mask(mask, box, cam_intrinsic, cam_to_vehicle, img_hw):
         ]
     )
     rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-    corners = corners @ rot.T + [cx, cy, cz]  # vehicle frame
+    return corners @ rot.T + [cx, cy, cz]
 
+
+def project_vehicle_points_to_image(points, intrinsic, cam_to_vehicle):
+    """Waymo global-shutter camera model in numpy.
+
+    The reference projects dynamic boxes with
+    ``py_camera_model_ops.world_to_image`` configured with GLOBAL_SHUTTER
+    metadata and zeroed velocity/latency (waymo_preprocess.py:74-93), which
+    reduces to: vehicle->camera extrinsic, OpenCV radial-tangential lens
+    distortion over the x-forward camera frame, pinhole scaling.  Waymo
+    intrinsics carry [fx, fy, cx, cy, k1, k2, p1, p2, k3].
+
+    Returns (u, v, ok) arrays; ok is False for points behind the image
+    plane (matching the TF op's validity bit for this configuration).
+    """
+    points = np.asarray(points, np.float64)
     v2c = np.linalg.inv(cam_to_vehicle)
-    cam_pts = corners @ v2c[:3, :3].T + v2c[:3, 3]
-    # waymo camera frame: x forward, y left, z up -> opencv
-    xc, yc, zc = cam_pts[:, 1] * -1, cam_pts[:, 2] * -1, cam_pts[:, 0]
-    valid = zc > 0.1
-    if valid.sum() < 2:
+    cam = points @ v2c[:3, :3].T + v2c[:3, 3]
+    # camera frame: +x forward (optical axis), +y left, +z up
+    xf, yl, zu = cam[:, 0], cam[:, 1], cam[:, 2]
+    ok = xf > 1e-6
+    xs = np.where(ok, xf, 1.0)
+    xn = -yl / xs
+    yn = -zu / xs
+    fx, fy, cu, cv = intrinsic[:4]
+    k1, k2, p1, p2, k3 = (list(intrinsic[4:9]) + [0.0] * 5)[:5]
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    ud = xn * radial + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+    vd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+    u = fx * ud + cu
+    v = fy * vd + cv
+    return u, v, ok
+
+
+def _project_box_to_mask(mask, box, cam_intrinsic, cam_to_vehicle, img_hw,
+                         speed: float = np.inf):
+    """Max-pool a moving box's projected bounding rect into a float speed
+    mask, with the reference's exact skip semantics
+    (waymo_preprocess.py:775-810): skip the box if ANY corner projection
+    fails; clip to image bounds; skip zero-extent rects."""
+    corners = _box_corners_vehicle(box)
+    u, v, ok = project_vehicle_points_to_image(
+        corners, np.asarray(cam_intrinsic, np.float64), cam_to_vehicle
+    )
+    if not ok.all():
         return
-    fx, fy, cu, cv = cam_intrinsic[:4]
-    u = fx * xc[valid] / zc[valid] + cu
-    v = fy * yc[valid] / zc[valid] + cv
     h, w = img_hw
-    u0, u1 = int(np.clip(u.min(), 0, w - 1)), int(np.clip(u.max(), 0, w - 1))
-    v0, v1 = int(np.clip(v.min(), 0, h - 1)), int(np.clip(v.max(), 0, h - 1))
-    mask[v0 : v1 + 1, u0 : u1 + 1] = 255
+    u = np.clip(u, 0, w)
+    v = np.clip(v, 0, h)
+    if u.max() - u.min() == 0 or v.max() - v.min() == 0:
+        return
+    v0, v1 = int(v.min()), int(v.min() + (v.max() - v.min()))
+    u0, u1 = int(u.min()), int(u.min() + (u.max() - u.min()))
+    region = mask[v0:v1, u0:u1]
+    np.maximum(region, speed, out=region)
 
 
 class WaymoProcessor:
@@ -385,27 +429,45 @@ class WaymoProcessor:
     def _save_dynamic_masks(frame, out, t):
         from PIL import Image
 
-        # boxes moving faster than 1 m/s are dynamic
+        # speed max-pooling over projected boxes, thresholded at 1 m/s,
+        # with the occlusion filter on lidar point counts
         # (waymo_preprocess.py:721-818)
-        moving = [
-            (
-                [b.box.center_x, b.box.center_y, b.box.center_z,
-                 b.box.length, b.box.width, b.box.height, b.box.heading]
+        labels = list(frame.laser_labels)
+        filter_available = any(
+            getattr(b, "num_top_lidar_points_in_box", 0) > 0 for b in labels
+        )
+        candidates = []
+        for b in labels:
+            if b.box.length * b.box.width * b.box.height == 0:
+                continue  # reference: `if not box.ByteSize(): continue`
+            top_n = getattr(b, "num_top_lidar_points_in_box", 0)
+            any_n = getattr(b, "num_lidar_points_in_box", 0)
+            if (filter_available and not top_n) or (
+                not filter_available and not any_n
+            ):
+                continue  # likely occluded
+            speed = float(np.hypot(b.metadata.speed_x, b.metadata.speed_y))
+            candidates.append(
+                (
+                    [b.box.center_x, b.box.center_y, b.box.center_z,
+                     b.box.length, b.box.width, b.box.height,
+                     b.box.heading],
+                    speed,
+                )
             )
-            for b in frame.laser_labels
-            if np.hypot(b.metadata.speed_x, b.metadata.speed_y) > 1.0
-        ]
         calibs = {c.name - 1: c for c in frame.context.camera_calibrations}
         for img in frame.images:
             cam = img.name - 1
             cc = calibs[cam]
             h, w = cc.height, cc.width
-            mask = np.zeros((h, w), np.uint8)
+            speed_mask = np.zeros((h, w), np.float32)
             cam_to_vehicle = np.asarray(cc.extrinsic.transform).reshape(4, 4)
-            for box in moving:
+            for box, speed in candidates:
                 _project_box_to_mask(
-                    mask, box, np.asarray(cc.intrinsic), cam_to_vehicle, (h, w)
+                    speed_mask, box, np.asarray(cc.intrinsic),
+                    cam_to_vehicle, (h, w), speed=speed,
                 )
+            mask = ((speed_mask > 1.0) * 255).astype(np.uint8)
             Image.fromarray(mask).save(
                 os.path.join(out, "dynamic_masks", f"{t:03d}_{cam}.png")
             )

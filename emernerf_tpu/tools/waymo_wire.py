@@ -104,6 +104,9 @@ SCHEMA: Dict[str, Dict[int, tuple]] = {
         2: ("metadata", "msg:LabelMetadata", "one"),
         3: ("type", "enum", "one"),
         4: ("id", "string", "one"),
+        # occlusion-filter fields (public waymo label.proto numbering)
+        7: ("num_lidar_points_in_box", "int32", "one"),
+        13: ("num_top_lidar_points_in_box", "int32", "one"),
     },
     "Frame": {
         1: ("context", "msg:Context", "one"),

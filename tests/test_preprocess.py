@@ -97,3 +97,83 @@ def test_flow_required_raises_on_flowless_record():
 
     with pytest.raises(RuntimeError, match="scene-flow"):
         proc._save_lidar(frame, "/tmp", 0, _StubFrameUtils)
+
+
+# ------------------------------------------------------------------ #
+# Waymo global-shutter camera model (dynamic-mask projection parity)
+# ------------------------------------------------------------------ #
+def _pinhole(points, intrinsic, cam_to_vehicle):
+    """Distortion-free oracle: plain x-forward pinhole."""
+    v2c = np.linalg.inv(cam_to_vehicle)
+    cam = np.asarray(points) @ v2c[:3, :3].T + v2c[:3, 3]
+    u = intrinsic[0] * (-cam[:, 1] / cam[:, 0]) + intrinsic[2]
+    v = intrinsic[1] * (-cam[:, 2] / cam[:, 0]) + intrinsic[3]
+    return u, v
+
+
+def test_camera_model_matches_pinhole_without_distortion():
+    from emernerf_tpu.tools.preprocess import project_vehicle_points_to_image
+
+    rng = np.random.default_rng(0)
+    pts = np.c_[rng.uniform(5, 40, 32), rng.uniform(-10, 10, 32),
+                rng.uniform(-2, 4, 32)]
+    intr = np.array([1200.0, 1180.0, 960.0, 640.0, 0, 0, 0, 0, 0])
+    c2v = np.eye(4)
+    u, v, ok = project_vehicle_points_to_image(pts, intr, c2v)
+    uo, vo = _pinhole(pts, intr, c2v)
+    assert ok.all()
+    np.testing.assert_allclose(u, uo, atol=1e-9)
+    np.testing.assert_allclose(v, vo, atol=1e-9)
+
+
+def test_camera_model_barrel_distortion_pulls_edges_inward():
+    """k1 < 0 (barrel): off-axis points project closer to the principal
+    point than the pinhole prediction — the reason the old pinhole masks
+    were wrong near image edges."""
+    from emernerf_tpu.tools.preprocess import project_vehicle_points_to_image
+
+    intr = np.array([1200.0, 1200.0, 960.0, 640.0, -0.3, 0, 0, 0, 0])
+    c2v = np.eye(4)
+    pts = np.array([[10.0, -6.0, 3.0]])  # well off-axis
+    u, v, ok = project_vehicle_points_to_image(pts, intr, c2v)
+    uo, vo = _pinhole(pts, intr, c2v)
+    assert ok.all()
+    r_model = np.hypot(u[0] - 960.0, v[0] - 640.0)
+    r_pin = np.hypot(uo[0] - 960.0, vo[0] - 640.0)
+    assert r_model < r_pin * 0.95, (r_model, r_pin)
+    # on-axis point is unaffected by radial distortion
+    u0, v0, _ = project_vehicle_points_to_image(
+        np.array([[10.0, 0.0, 0.0]]), intr, c2v
+    )
+    np.testing.assert_allclose([u0[0], v0[0]], [960.0, 640.0], atol=1e-9)
+
+
+def test_camera_model_behind_camera_not_ok():
+    from emernerf_tpu.tools.preprocess import project_vehicle_points_to_image
+
+    intr = np.array([1200.0, 1200.0, 960.0, 640.0, 0, 0, 0, 0, 0])
+    u, v, ok = project_vehicle_points_to_image(
+        np.array([[-5.0, 0.0, 0.0], [5.0, 0.0, 0.0]]), intr, np.eye(4)
+    )
+    assert not ok[0] and ok[1]
+
+
+def test_box_mask_skips_partially_out_of_frustum_box():
+    """Reference parity: a box with ANY corner behind the camera is skipped
+    entirely (waymo_preprocess.py:783-786)."""
+    from emernerf_tpu.tools.preprocess import _project_box_to_mask
+
+    intr = np.array([100.0, 100.0, 48.0, 32.0, 0, 0, 0, 0, 0])
+    mask = np.zeros((64, 96), np.float32)
+    # box straddling the camera plane: some corners behind
+    _project_box_to_mask(
+        mask, [0.5, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0], intr, np.eye(4), (64, 96),
+        speed=5.0,
+    )
+    assert (mask == 0).all()
+    # fully-in-front box rasterizes its speed
+    _project_box_to_mask(
+        mask, [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0], intr, np.eye(4), (64, 96),
+        speed=5.0,
+    )
+    assert (mask == 5.0).any()

@@ -130,6 +130,8 @@ def build_fixture_tfrecord(path, num_frames=NUM_FRAMES):
                     "metadata": {"speed_x": 5.0, "speed_y": 0.0},
                     "type": 1,
                     "id": "moving-car",
+                    "num_lidar_points_in_box": 40,
+                    "num_top_lidar_points_in_box": 25,
                 },
                 {  # parked vehicle -> ignored
                     "box": {
@@ -140,6 +142,8 @@ def build_fixture_tfrecord(path, num_frames=NUM_FRAMES):
                     "metadata": {"speed_x": 0.0, "speed_y": 0.0},
                     "type": 1,
                     "id": "parked-car",
+                    "num_lidar_points_in_box": 30,
+                    "num_top_lidar_points_in_box": 12,
                 },
             ],
         }
