@@ -123,9 +123,30 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         logger.info("Model parameters: %.2fM", n_params / 1e6)
 
+        # ray-batch data parallelism over an ICI mesh (SURVEY §2.4: the
+        # reference's NCCL helpers are dormant; this is the TPU-native axis)
+        self.mesh = None
+        n_dev = int(cfg.get_dotted("parallel.num_devices", 1))
+        if n_dev == 0:
+            n_dev = jax.device_count()
+        if n_dev > 1:
+            from emernerf_tpu.parallel.mesh import make_mesh
+
+            if self.ray_batch_size % n_dev:
+                raise ValueError(
+                    f"data.ray_batch_size {self.ray_batch_size} must divide "
+                    f"by parallel.num_devices {n_dev}"
+                )
+            self.mesh = make_mesh(n_dev)
+            logger.info("Data-parallel mesh over %d devices", n_dev)
+
         self.train_step = build_train_step(
             self.model, self.prop_models, self.step_cfg
         )
+        if self.mesh is not None:
+            from emernerf_tpu.parallel.mesh import shard_train_step
+
+            self.train_step = shard_train_step(self.train_step, self.mesh)
         self._sample_pixel = jax.jit(
             partial(
                 sample_pixel_batch,
@@ -157,6 +178,7 @@ class Trainer:
             sampling_type=cfg.nerf.propnet.sampling_type,
             chunk_size=cfg.render.render_chunk_size,
             return_decomposition=self.model.has_dynamic,
+            mesh=self.mesh,
         )
 
         self.start_step = 0

@@ -72,3 +72,39 @@ def test_cli_dotlist_overrides(tmp_path):
     assert cfg.optim.lr == 0.123
     assert cfg.data.scene_idx == 42
     assert (tmp_path / "p2" / "r2" / "config.yaml").exists()
+
+
+def test_cli_train_data_parallel(tmp_path):
+    """The parallel.num_devices config drives the whole CLI path on the
+    8-device virtual mesh: sharded train steps + sharded eval chunks."""
+    from train_emernerf import get_args_parser, main
+
+    args = get_args_parser().parse_args(
+        ["--output_root", str(tmp_path), "--project", "p", "--run_name", "dp"]
+        + TINY_OVERRIDES
+        + [
+            "parallel.num_devices=8",
+            "render.render_chunk_size=608",  # divisible by 8
+            "optim.num_iters=12",
+        ]
+    )
+    main(args)
+    run_dir = tmp_path / "p" / "dp"
+    metric_files = list(run_dir.glob("metrics_all_*.json"))
+    assert metric_files
+    results = json.loads(metric_files[0].read_text())
+    assert np.isfinite(results["lowres/psnr"])
+
+
+def test_cli_rejects_indivisible_dp_batch(tmp_path):
+    from train_emernerf import get_args_parser, main
+
+    args = get_args_parser().parse_args(
+        ["--output_root", str(tmp_path), "--project", "p", "--run_name", "bad"]
+        + TINY_OVERRIDES
+        + ["parallel.num_devices=8", "data.ray_batch_size=250"]
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        main(args)
