@@ -98,7 +98,10 @@ class BrickGridSpec:
     # (tests/tiny models).
     scatter_mode: str = "wide"
     # reduce_mode: "unroll" = per-corner lane-slice MACs (avoids the
-    # (N, C, F) relayout copy); "einsum" lets XLA pick the layout.
+    # (N, C, F) relayout copy); "einsum" lets XLA pick the layout; "dot" =
+    # lane-decoded weight row x constant (CF, F) selection matrix on the
+    # MXU — einsum-level op count (3.3x fewer traced eqns than unroll,
+    # perf/hlo_size.py) without the relayout copy.
     reduce_mode: str = "unroll"
     # posgrad_mode: "fwd" = forward-saved per-axis reductions;
     # "regather" = re-gather rows in the backward (frugal residuals,
@@ -393,7 +396,7 @@ def _corner_dweights(spec: BrickGridSpec, axes, axis_i: int):
     return _outer_corners(ws, spec.CPA)
 
 
-def _weights_row(spec, axes, f, dtype, t_frac=None):
+def _weights_row(spec, axes, f, dtype, t_frac=None, daxis: int = -1):
     """Corner weights as an (N, CF) lane-expanded row matching the table's
     corner-major feature layout, built DIRECTLY in lane-major form from the
     per-axis offsets/fractions.  Transposing the (C, N) reduce-path weights
@@ -411,7 +414,11 @@ def _weights_row(spec, axes, f, dtype, t_frac=None):
     No broadcast-into-new-axis + reshape chain — that materializes the
     (N, lanes) product in a reshape-unfriendly layout and XLA inserts a
     full relayout copy per (level, site) before the scatter (measured
-    ~100 x 3ms of 'data formatting' copies per step)."""
+    ~100 x 3ms of 'data formatting' copies per step).
+
+    ``daxis >= 0`` builds the DERIVATIVE row d(W)/d(frac_daxis) instead
+    (that axis contributes -1/+1 corner selections) — the reduce-path
+    input for forward-saved position gradients under reduce_mode="dot"."""
     n = axes[0][0].shape[0]
     cpa = spec.CPA
     lanes = spec.corners_per_brick * f * (2 if t_frac is not None else 1)
@@ -419,13 +426,18 @@ def _weights_row(spec, axes, f, dtype, t_frac=None):
     cidx = j // f  # corner index; axis-0 digit fastest, time slowest
     w = None
     div = 1
-    for o, fr in axes:
+    for ai, (o, fr) in enumerate(axes):
         dig = ((cidx // div) % cpa).astype(o.dtype)
         o_c = o[:, None]
-        wi = jnp.where(
-            dig == o_c, (1.0 - fr)[:, None],
-            jnp.where(dig == o_c + 1.0, fr[:, None], 0.0),
-        ).astype(dtype)
+        if ai == daxis:
+            wi = jnp.where(
+                dig == o_c, -1.0, jnp.where(dig == o_c + 1.0, 1.0, 0.0)
+            ).astype(dtype)
+        else:
+            wi = jnp.where(
+                dig == o_c, (1.0 - fr)[:, None],
+                jnp.where(dig == o_c + 1.0, fr[:, None], 0.0),
+            ).astype(dtype)
         w = wi if w is None else w * wi
         div *= cpa
     if t_frac is not None:
@@ -509,6 +521,28 @@ def _onehot_rows_grad(rset, upd, t_eff: int, chunk: int = 65536):
     )
 
 
+def _reduce_row_dot(feats, wrow, f):
+    """(N, CF) gathered rows x (N, CF) lane-decoded weights -> (N, F) via
+    one MXU contraction with a CONSTANT (CF, F) per-feature selection
+    matrix: out[n, f] = sum_c (feats*wrow)[n, cF+f].
+
+    Gets einsum-level op count (the compile-time fix: the 27-slice unroll
+    traces ~3.3x the equations, perf/hlo_size.py) without einsum's
+    (N, C, F) relayout copy — the elementwise product fuses into the dot's
+    lhs and the strided lane sum runs on the MXU.  fp32 accumulation."""
+    n, w = feats.shape
+    c = w // f
+    prod = feats * wrow.astype(feats.dtype)
+    if f == 1:
+        return prod.sum(axis=1, keepdims=True).astype(jnp.float32)
+    sel = jnp.tile(jnp.eye(f, dtype=feats.dtype), (c, 1))  # (CF, F) const
+    out = jax.lax.dot_general(
+        prod, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
 def _reduce_row(feats, weights, f, mode="unroll"):
     """(N, CF) gathered rows x (C, N) corner weights -> (N, F).
 
@@ -586,14 +620,30 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
                 jax.lax.optimization_barrier((r, prev))[0] for r in rows
             )
         level_table = jax.lax.slice_in_dim(table, lvl * b, (lvl + 1) * b)
-        weights = _corner_weights(spec, axes)
+        use_dot = spec.reduce == "dot" and f > 1
+        if use_dot:
+            wrow = _weights_row(spec, axes, f, table.dtype)  # (N, CF)
+
+            def reduce_fn(feats, _w=None, wr=None):
+                return _reduce_row_dot(
+                    feats, wrow if wr is None else wr, f
+                ).astype(feats.dtype)
+
+        else:
+            weights = _corner_weights(spec, axes)
+
+            def reduce_fn(feats, _w=None, wr=None):
+                return _reduce_row(
+                    feats, _w if _w is not None else weights, f, spec.reduce
+                )
+
         tw = None
         if spec.uses_time_pair:
             # ONE (N, 2*27F)-row gather: both time corners in the row
             feats0 = jnp.take(level_table, rows[0], axis=0, mode="clip")
             lo, hi = feats0[:, :half], feats0[:, half:]
-            f0 = _reduce_row(lo, weights, f, spec.reduce)
-            f1 = _reduce_row(hi, weights, f, spec.reduce)
+            f0 = reduce_fn(lo)
+            f1 = reduce_fn(hi)
             tw = t_frac.astype(f0.dtype)[:, None]
             out_l = f0 * (1.0 - tw) + f1 * tw
         else:
@@ -604,12 +654,12 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             if f == 1 and not spec.has_time:
                 f0 = _reduce_row_lane(spec, axes, lo, prev)  # (N, 1), f32
             else:
-                f0 = _reduce_row(lo, weights, f, spec.reduce)  # (N, F)
+                f0 = reduce_fn(lo)  # (N, F)
             f1 = hi = None
             out_l = f0
             if spec.has_time:
                 hi = jnp.take(level_table, rows[1], axis=0, mode="clip")
-                f1 = _reduce_row(hi, weights, f, spec.reduce)
+                f1 = reduce_fn(hi)
                 tw = t_frac.astype(f0.dtype)[:, None]
                 out_l = f0 * (1.0 - tw) + f1 * tw
         if want_aux:
@@ -622,8 +672,12 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
             sc = jnp.asarray(scales[lvl], out_l.dtype)
             parts = []
             for i in range(spec.spatial_dims):
-                dw = _corner_dweights(spec, axes, i)
-                parts.append(_reduce_row(feats_lerp, dw, f, spec.reduce) * sc)
+                if use_dot:
+                    dwr = _weights_row(spec, axes, f, table.dtype, daxis=i)
+                    parts.append(reduce_fn(feats_lerp, wr=dwr) * sc)
+                else:
+                    dw = _corner_dweights(spec, axes, i)
+                    parts.append(reduce_fn(feats_lerp, _w=dw) * sc)
             if spec.has_time:
                 parts.append((f1 - f0) * sc)
             aux_l = jnp.stack(parts, axis=1)  # (N, G, F)

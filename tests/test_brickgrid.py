@@ -166,6 +166,32 @@ def test_brickgrid_reduce_modes_agree(monkeypatch):
     monkeypatch.setenv("EMERNERF_REDUCE", "einsum")
     b = np.asarray(brickgrid_encode(table, x, spec))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    monkeypatch.setenv("EMERNERF_REDUCE", "dot")
+    c = np.asarray(brickgrid_encode(table, x, spec))
+    np.testing.assert_allclose(a, c, rtol=2e-5, atol=2e-6)
+
+
+def test_brickgrid_dot_reduce_grads_agree(monkeypatch):
+    """The 'dot' reduce (MXU selection-matrix contraction) must produce
+    the same table AND position gradients as 'unroll' — the fwd-saved
+    position-grad aux path switches to lane-decoded derivative rows."""
+    spec = SPEC4
+    table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 4))
+    g = jax.random.normal(jax.random.PRNGKey(2), (64, spec.n_output_dims))
+
+    def grads():
+        return jax.grad(
+            lambda tab, p: (brickgrid_encode(tab, p, spec, True) * g).sum(),
+            argnums=(0, 1),
+        )(table, x)
+
+    monkeypatch.setenv("EMERNERF_REDUCE", "unroll")
+    gt_a, gp_a = (np.asarray(v) for v in grads())
+    monkeypatch.setenv("EMERNERF_REDUCE", "dot")
+    gt_b, gp_b = (np.asarray(v) for v in grads())
+    np.testing.assert_allclose(gt_a, gt_b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(gp_a, gp_b, rtol=2e-4, atol=2e-4)
 
 
 def test_brickgrid_continuous_inside_brick():
