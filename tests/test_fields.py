@@ -105,6 +105,7 @@ def test_flow_field_temporal_aggregation():
     assert out_eval["density"].shape == (4, 3)
 
 
+@pytest.mark.slow
 def test_fused_dynflow_grid_matches_interfaces():
     """fuse_flow_grid=True stores dynamic + flow in ONE table; the model
     must expose the exact same output surface, produce finite grads into
@@ -165,6 +166,7 @@ def test_fused_dynflow_grid_matches_interfaces():
     assert qa["density"].shape == (16,)
 
 
+@pytest.mark.slow
 def test_topk_temporal_aggregation():
     """With temporal_agg_topk=K, exactly K samples per ray get warped
     aggregation (agg_mask), non-selected samples keep their current-time
@@ -274,6 +276,7 @@ def test_find_topk_nearby_timesteps():
     np.testing.assert_allclose(np.asarray(near[1]), [1.0, 0.75])
 
 
+@pytest.mark.slow
 def test_temporal_interpolation_flow_eval():
     """With enable_temporal_interpolation, an eval-time flow query at an
     off-grid timestep equals the lerp of the two nearest training-timestep

@@ -233,6 +233,7 @@ def test_fused_topk_quality_parity():
     )
 
 
+@pytest.mark.slow
 def test_train_state_step_advances_and_lr_logged():
     scene_np, scene = _make_scene()
     model, props = _make_models(scene_np)
@@ -248,6 +249,7 @@ def test_train_state_step_advances_and_lr_logged():
     assert "prop_loss" in metrics
 
 
+@pytest.mark.slow
 def test_fused_branch_step_matches_metric_surface():
     """fused_branches=True: one combined pixel+lidar render/backward/update
     produces the same metric keys, finite values, and an advancing step."""
@@ -327,6 +329,7 @@ def test_nan_tripwire_halts_training(tmp_path, monkeypatch):
         trainer.train()
 
 
+@pytest.mark.slow
 def test_adam_moment_dtypes_and_fp32_master_retention():
     """Big fp32 table params get bf16 Adam moments (HBM bound); small
     params keep fp32 moments.  fp32 master params retain updates that

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emernerf_tpu.eval.points import PointQueryEngine
 from emernerf_tpu.eval.voxel_vis import visualize_scene_flow, visualize_voxels
@@ -39,6 +40,7 @@ def test_visualize_voxels_static(tmp_path):
     assert data["frame0_xyz"].shape[0] > 0
 
 
+@pytest.mark.slow
 def test_visualize_scene_flow(tmp_path):
     from emernerf_tpu.builders import build_dataset_from_cfg
     from emernerf_tpu.config import from_dotlist, load_config
