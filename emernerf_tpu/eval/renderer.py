@@ -46,10 +46,15 @@ class ImageRenderer:
         chunk_size: int = 16384,
         return_decomposition: bool = False,
         mesh=None,
+        sample_topk: int = 0,
     ):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are sharded
         across its data axis (parallel/mesh.py:shard_render_chunk);
-        chunk_size must divide evenly by the mesh size."""
+        chunk_size must divide evenly by the mesh size.
+
+        ``sample_topk``: query the field at only the K samples/ray the last
+        prop net ranks highest (render/renderer.py:_topk_sample_select) —
+        opt-in eval speedup (render.eval_sample_topk); 0 = exact."""
         if mesh is not None and chunk_size % mesh.size != 0:
             raise ValueError(
                 f"chunk_size {chunk_size} not divisible by mesh size "
@@ -63,7 +68,7 @@ class ImageRenderer:
                 num_samples=num_samples, prop_samples=tuple(prop_samples),
                 near_plane=near_plane, far_plane=far_plane,
                 sampling_type=sampling_type, stratified=False,
-                proposal_requires_grad=False,
+                proposal_requires_grad=False, sample_topk=sample_topk,
                 return_decomposition=return_decomposition, train=False,
             )
             out.pop("extras", None)
@@ -81,7 +86,8 @@ class ImageRenderer:
                 num_samples=num_samples, prop_samples=tuple(prop_samples),
                 near_plane=near_plane, far_plane=far_plane,
                 sampling_type=sampling_type, stratified=False,
-                proposal_requires_grad=False, is_lidar=True, train=False,
+                proposal_requires_grad=False, sample_topk=sample_topk,
+                is_lidar=True, train=False,
             )
             out.pop("extras", None)
             return out

@@ -179,6 +179,7 @@ class Trainer:
             chunk_size=cfg.render.render_chunk_size,
             return_decomposition=self.model.has_dynamic,
             mesh=self.mesh,
+            sample_topk=int(cfg.get_dotted("render.eval_sample_topk", 0)),
         )
 
         self.start_step = 0

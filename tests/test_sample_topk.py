@@ -164,3 +164,22 @@ def test_topk_temp_explores():
         jax.random.PRNGKey(1), prop_fn, t[:, :-1], t[:, 1:], k, temp=5.0
     )
     assert not np.array_equal(np.asarray(oh_a), np.asarray(oh_b))
+
+
+def test_eval_renderer_sample_topk_close_to_exact():
+    """Opt-in eval pruning (render.eval_sample_topk) stays close to the
+    exact render when K covers the mass, and never raises opacity."""
+    from emernerf_tpu.eval.renderer import ImageRenderer
+
+    model, params, prop, prop_params, rays = _make_model_and_rays(r=40)
+    kw = dict(num_samples=8, prop_samples=(16,), chunk_size=16)
+    exact = ImageRenderer(model, [prop], **kw)
+    pruned = ImageRenderer(model, [prop], sample_topk=6, **kw)
+    pp = (prop_params,)
+    o1 = exact.render_rays_chunked(params, pp, rays)
+    o2 = pruned.render_rays_chunked(params, pp, rays)
+    assert o2["rgb"].shape == o1["rgb"].shape
+    import numpy as np
+
+    assert np.isfinite(o2["rgb"]).all()
+    assert float((o2["opacity"] - o1["opacity"]).max()) <= 1e-5
