@@ -177,10 +177,17 @@ def render_ray_batch(
     return results, caches, s_vals_final
 
 
+# field-output keys that are PER-RAY (not per-sample): never scatter these
+# back over the sample axis — a (R, K)-shaped heuristic would misfire on
+# e.g. rgb_sky's (R, 3) when K happens to equal the trailing dim
+_PER_RAY_KEYS = frozenset({"rgb_sky", "dino_sky_feat"})
+
+
 def _scatter_back(field_out, onehot, n_rays: int, k: int):
-    """Expand every (R, K, ...) field output back to (R, S, ...) with zeros
-    at pruned samples (one MXU einsum per leaf; R*K*S one-hot contractions
-    measured at a few ms, PERF_NOTES round-4)."""
+    """Expand every per-sample (R, K, ...) field output back to (R, S, ...)
+    with zeros at pruned samples (one MXU einsum per leaf; R*K*S one-hot
+    contractions measured at a few ms, PERF_NOTES round-4).  Per-ray
+    outputs (_PER_RAY_KEYS) pass through unchanged."""
 
     def expand(x):
         if x.ndim >= 2 and x.shape[0] == n_rays and x.shape[1] == k:
@@ -192,4 +199,7 @@ def _scatter_back(field_out, onehot, n_rays: int, k: int):
             ).reshape((n_rays, onehot.shape[-1]) + x.shape[2:])
         return x
 
-    return jax.tree.map(expand, field_out)
+    return {
+        key: (v if key in _PER_RAY_KEYS else jax.tree.map(expand, v))
+        for key, v in field_out.items()
+    }

@@ -183,3 +183,34 @@ def test_eval_renderer_sample_topk_close_to_exact():
 
     assert np.isfinite(o2["rgb"]).all()
     assert float((o2["opacity"] - o1["opacity"]).max()) <= 1e-5
+
+
+def test_per_ray_outputs_survive_pruning():
+    """Per-ray field outputs (rgb_sky) must pass through the scatter-back
+    untouched even when K equals their trailing dim (regression: K=3
+    collided with rgb_sky's (R, 3) under the shape heuristic)."""
+    model = RadianceField(
+        static_spec=TINY3, aabb=AABB, geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0, enable_sky_head=True,
+    )
+    prop = DensityField(spec=TINY3, aabb=AABB, base_mlp_layer_width=16)
+    r = 8
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(r, 3)).astype(np.float32)
+    rays = {
+        "origins": jnp.zeros((r, 3)),
+        "viewdirs": jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1,
+                                                      keepdims=True)),
+    }
+    pos0 = jnp.zeros((r, 8, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), pos0, jnp.ones((r, 8, 3)), {}
+    )["params"]
+    pp = prop.init(jax.random.PRNGKey(1), pos0)["params"]
+    out, _, _ = render_ray_batch(
+        model, params, [prop], [pp], rays, jax.random.PRNGKey(2),
+        num_samples=8, prop_samples=(16,), sample_topk=3, train=True,
+    )
+    assert out["rgb"].shape == (r, 3)
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
