@@ -34,7 +34,13 @@ def main():
     from emernerf_tpu.flagship import build_flagship
     from emernerf_tpu.train.step import build_train_step, init_train_state
 
-    cfg, dataset, model, prop_models, step_cfg = build_flagship(tiny=tiny)
+    # BENCH_OVERRIDES="a.b=1,c.d=2" benches a config variant without
+    # editing configs/ (the committed default is what the driver measures)
+    overrides = [s for s in os.environ.get("BENCH_OVERRIDES", "").split(",")
+                 if s]
+    cfg, dataset, model, prop_models, step_cfg = build_flagship(
+        tiny=tiny, overrides=overrides
+    )
     scene = dataset.scene_tensors()
     key = jax.random.PRNGKey(0)
     ray_batch = cfg.data.ray_batch_size
