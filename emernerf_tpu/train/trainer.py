@@ -91,6 +91,26 @@ class Trainer:
     def __init__(self, cfg: ConfigNode, log_dir: str, enable_wandb: bool = False):
         self.cfg = cfg
         self.log_dir = log_dir
+
+        # ray-batch data parallelism over an ICI mesh (SURVEY §2.4: the
+        # reference's NCCL helpers are dormant; this is the TPU-native
+        # axis).  Validate + build the mesh before any expensive dataset
+        # or model construction so bad configs fail fast.
+        self.mesh = None
+        n_dev = int(cfg.get_dotted("parallel.num_devices", 1))
+        if n_dev == 0:
+            n_dev = jax.device_count()
+        if n_dev > 1:
+            from emernerf_tpu.parallel.mesh import make_mesh
+
+            if cfg.data.ray_batch_size % n_dev:
+                raise ValueError(
+                    f"data.ray_batch_size {cfg.data.ray_batch_size} must "
+                    f"divide by parallel.num_devices {n_dev}"
+                )
+            self.mesh = make_mesh(n_dev)
+            logger.info("Data-parallel mesh over %d devices", n_dev)
+
         self.wandb = init_wandb(cfg, log_dir) if enable_wandb else None
 
         logger.info("Building dataset...")
@@ -122,23 +142,6 @@ class Trainer:
         )
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         logger.info("Model parameters: %.2fM", n_params / 1e6)
-
-        # ray-batch data parallelism over an ICI mesh (SURVEY §2.4: the
-        # reference's NCCL helpers are dormant; this is the TPU-native axis)
-        self.mesh = None
-        n_dev = int(cfg.get_dotted("parallel.num_devices", 1))
-        if n_dev == 0:
-            n_dev = jax.device_count()
-        if n_dev > 1:
-            from emernerf_tpu.parallel.mesh import make_mesh
-
-            if self.ray_batch_size % n_dev:
-                raise ValueError(
-                    f"data.ray_batch_size {self.ray_batch_size} must divide "
-                    f"by parallel.num_devices {n_dev}"
-                )
-            self.mesh = make_mesh(n_dev)
-            logger.info("Data-parallel mesh over %d devices", n_dev)
 
         self.train_step = build_train_step(
             self.model, self.prop_models, self.step_cfg

@@ -39,6 +39,9 @@ VARIANTS = {
     "sub4": ["nerf.model.perf.grad_subsample=4"],
     "sub8": ["nerf.model.perf.grad_subsample=8"],
     "nofuse": ["nerf.model.fuse_flow_grid=false"],
+    # reference-exact formulation: tcnn-layout hash grids instead of the
+    # TPU brick grids (the 4th default-on divergence; VERDICT r1 #2)
+    "hash": ["nerf.model.grid_backend=hash"],
     "timepair0": [],  # handled via spec rebuild below
     "onehot0": ["nerf.model.perf.onehot_budget=0"],
     # top-K sample pruning (render/renderer.py:_topk_sample_select):

@@ -16,6 +16,15 @@ import time
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even when a site-level PJRT plugin registers a
+# different default backend after jax reads the env (e.g. forcing
+# JAX_PLATFORMS=cpu for CPU-only dry runs on a TPU-attached host).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 from emernerf_tpu.config import load_config
 from emernerf_tpu.utils.logging import setup_logging
 
