@@ -168,7 +168,7 @@ def test_training_improves_psnr(dynamic, flow):
 def test_fused_topk_quality_parity():
     """The TPU-production formulation (fused dyn+flow brick grid +
     top-K temporal aggregation) must train the synthetic dynamic scene to
-    within 1.5 dB of the reference-semantics formulation (separate hash
+    within 0.5 dB of the reference-semantics formulation (separate hash
     grids, aggregation on every sample)."""
     from emernerf_tpu.ops.brickgrid import BrickGridSpec
 
@@ -225,10 +225,15 @@ def test_fused_topk_quality_parity():
     psnr_ref = run("reference")
     psnr_fused = run("fused")
     psnr_topk = run("topk")
-    assert psnr_fused > psnr_ref - 1.5, (
+    print(f"\n[parity] ref={psnr_ref:.3f} fused={psnr_fused:.3f} "
+          f"topk={psnr_topk:.3f}")
+    # measured: fused -0.08 dB, topk -0.11 dB vs reference semantics at
+    # this scale (gate was 1.5 dB in round 1; tightened toward the 0.2 dB
+    # north star — flagship-scale evidence lives in perf/QUALITY_r02.json)
+    assert psnr_fused > psnr_ref - 0.5, (
         f"fused grid quality gap: {psnr_fused:.2f} vs {psnr_ref:.2f}"
     )
-    assert psnr_topk > psnr_ref - 1.5, (
+    assert psnr_topk > psnr_ref - 0.5, (
         f"top-k aggregation quality gap: {psnr_topk:.2f} vs {psnr_ref:.2f}"
     )
 
