@@ -255,6 +255,7 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         sampling_type=cfg.nerf.propnet.sampling_type,
         sample_topk=int(cfg.nerf.sampling.get("sample_topk", 0)),
         sample_topk_temp=float(cfg.nerf.sampling.get("sample_topk_temp", 0.0)),
+        lidar_sample_topk=int(cfg.nerf.sampling.get("lidar_sample_topk", -1)),
         enable_anti_aliasing=cfg.nerf.propnet.enable_anti_aliasing_level_loss,
         pulse_widths=tuple(cfg.nerf.propnet.anti_aliasing_pulse_width),
         rgb_loss_type=sup.rgb.loss_type,

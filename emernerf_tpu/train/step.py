@@ -113,6 +113,13 @@ class TrainStepConfig:
     # Gumbel temperature on the selection scores (>0 keeps pruned regions
     # reachable by gradients, like nerfacc's periodic occupancy refresh)
     sample_topk_temp: float = 0.0
+    # separate (typically more aggressive) top-K for the density-only
+    # lidar branch: depth + line-of-sight supervision concentrates near
+    # the lidar return, which is exactly what the proposal proxy ranks
+    # highest, so the lidar render tolerates a smaller K than the RGB
+    # branch.  -1 = use ``sample_topk``.  Ignored by ``fused_branches``
+    # (one combined render can only have one K).
+    lidar_sample_topk: int = -1
 
 
 def _psnr(pred, gt):
@@ -168,6 +175,14 @@ def build_train_step(
         sampling_type=cfg.sampling_type,
         sample_topk=cfg.sample_topk,
         sample_topk_temp=cfg.sample_topk_temp,
+    )
+    lidar_render_kw = dict(
+        render_kw,
+        sample_topk=(
+            cfg.lidar_sample_topk
+            if cfg.lidar_sample_topk >= 0
+            else cfg.sample_topk
+        ),
     )
 
     # ---------------- pixel branch ---------------- #
@@ -267,7 +282,7 @@ def build_train_step(
             stratified=True, proposal_requires_grad=requires_grad,
             is_lidar=True, train=True, rngs={"aggregation": agg_key},
             remat=cfg.remat or os.environ.get("EMERNERF_REMAT", "0") == "1",
-            **render_kw,
+            **lidar_render_kw,
         )
         extras = out["extras"]
         losses = _lidar_losses(out, extras, batch, step)

@@ -54,6 +54,15 @@ VARIANTS = {
     "stopk32sub4": ["nerf.sampling.sample_topk=32",
                     "nerf.sampling.sample_topk_temp=0.3",
                     "nerf.model.perf.grad_subsample=4"],
+    # pruning with a more aggressive K on the density-only lidar branch
+    # (depth/LoS supervision concentrates near the return)
+    "stopk32l16": ["nerf.sampling.sample_topk=32",
+                   "nerf.sampling.sample_topk_temp=0.3",
+                   "nerf.sampling.lidar_sample_topk=16"],
+    # halved proposal sample counts (the prop-grid forward is ~25M F=1
+    # gather rows/step at the reference's [128, 64]; the sampler's
+    # compare-all fusions scale the same way)
+    "prop6432": ["nerf.propnet.num_samples_per_prop=[64,32]"],
 }
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

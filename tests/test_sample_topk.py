@@ -185,6 +185,63 @@ def test_eval_renderer_sample_topk_close_to_exact():
     assert float((o2["opacity"] - o1["opacity"]).max()) <= 1e-5
 
 
+def test_lidar_sample_topk_trains_finitely():
+    """A more aggressive K on the density-only lidar branch
+    (TrainStepConfig.lidar_sample_topk) still produces finite losses and
+    nonzero table gradients through both branches."""
+    from emernerf_tpu.data.scene import (
+        SceneTensors,
+        sample_lidar_batch,
+        sample_pixel_batch,
+    )
+    from emernerf_tpu.data.synthetic import make_synthetic_scene
+    from emernerf_tpu.train.step import (
+        TrainStepConfig,
+        build_train_step,
+        init_train_state,
+    )
+
+    s = make_synthetic_scene(num_frames=2, hw=(16, 24),
+                             num_lidar_rays_per_frame=64)
+    scene = SceneTensors(
+        images=jnp.asarray(s["images"]),
+        c2w=jnp.asarray(s["c2w"]),
+        intrinsics=jnp.asarray(s["intrinsics"]),
+        normed_timestamps=jnp.asarray(s["normed_timestamps"]),
+        cam_ids=jnp.asarray(s["cam_ids"]),
+        train_indices=jnp.arange(s["images"].shape[0], dtype=jnp.int32),
+        sky_masks=jnp.asarray(s["sky_masks"]),
+        lidar_origins=jnp.asarray(s["lidar_origins"]),
+        lidar_viewdirs=jnp.asarray(s["lidar_viewdirs"]),
+        lidar_ranges=jnp.asarray(s["lidar_ranges"]),
+        lidar_normed_timestamps=jnp.asarray(s["lidar_normed_timestamps"]),
+        aabb=jnp.asarray(s["aabb"]),
+    )
+    aabb = tuple(float(v) for v in s["aabb"])
+    model = RadianceField(
+        static_spec=TINY3, aabb=aabb, geometry_feature_dim=8,
+        base_mlp_layer_width=16, head_mlp_layer_width=16,
+        semantic_feature_dim=0, enable_sky_head=True,
+    )
+    prop = DensityField(spec=TINY3, aabb=aabb, base_mlp_layer_width=16)
+    cfg = TrainStepConfig(
+        num_samples=8, prop_samples=(16,), has_lidar=True,
+        use_sky_loss=True, los_start_iter=0, num_iters=20,
+        sample_topk=6, lidar_sample_topk=3,
+    )
+    key = jax.random.PRNGKey(0)
+    pb = sample_pixel_batch(scene, key, 32, use_timestamps=False)
+    lb = sample_lidar_batch(scene, key, 32)
+    state = init_train_state(model, [prop], cfg, key, pb)
+    step_fn = build_train_step(model, [prop], cfg)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        state, m = step_fn(state, pb, lb, k, pixel_rg=(i == 0),
+                           lidar_rg=(i == 0))
+    for name in ("rgb_loss", "lidar_range_loss", "psnr", "range_rmse"):
+        assert np.isfinite(float(m[name])), name
+
+
 def test_per_ray_outputs_survive_pruning():
     """Per-ray field outputs (rgb_sky) must pass through the scatter-back
     untouched even when K equals their trailing dim (regression: K=3
