@@ -71,6 +71,8 @@ def init_wandb(cfg: ConfigNode, log_dir: str, retries: int = 10,
 
             wandb.init(
                 project=cfg.get("project", "emernerf_tpu"),
+                entity=cfg.get("wandb_entity", None),
+                name=cfg.get("run_name", None),
                 dir=log_dir, config=cfg.to_dict(),
             )
             return wandb

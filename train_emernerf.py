@@ -64,6 +64,10 @@ def get_args_parser():
         help="enable wandb logging (no-op if wandb is unavailable)",
     )
     parser.add_argument(
+        "--entity", default=None, type=str, required=False,
+        help="wandb entity name (reference train_emernerf.py:93-99)",
+    )
+    parser.add_argument(
         "opts", nargs=argparse.REMAINDER,
         help="dotlist config overrides, e.g. data.scene_idx=700",
     )
@@ -77,6 +81,12 @@ def setup(args):
 
     log_dir = os.path.join(args.output_root, args.project, args.run_name)
     cfg.log_dir = log_dir
+    # carried into wandb.init (project/run naming mirrors the reference,
+    # train_emernerf.py:158-171)
+    cfg.project = args.project
+    cfg.run_name = args.run_name
+    if getattr(args, "entity", None):
+        cfg.wandb_entity = args.entity
     os.makedirs(log_dir, exist_ok=True)
     for sub in ("images", "full_videos", "test_videos", "lowres_videos",
                 "metrics", "configs_bk", "buffer_maps"):
