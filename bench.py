@@ -21,11 +21,48 @@ import time
 
 import jax
 
+# honor JAX_PLATFORMS even when a site-level PJRT plugin registers a
+# different default backend (same pattern as train_emernerf.py: enables
+# BENCH_PRESET=tiny CPU smoke runs on a TPU-attached host)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 from emernerf_tpu.utils.cache import enable_compilation_cache
+
+
+def _require_devices(timeout_s: float = 300.0):
+    """Fail fast (instead of hanging the caller) when the remote TPU
+    tunnel is dead: jax.devices() on the axon backend blocks forever if
+    the relay is down, so probe it from a watchdog thread.  Normal tunnel
+    init takes ~35 s; 300 s is generous."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-specific
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    err = out.get("error", f"jax.devices() unresponsive after {timeout_s:.0f}s")
+    print(json.dumps({
+        "metric": "train_rays_per_sec", "value": 0.0, "unit": "rays/s",
+        "vs_baseline": 0.0, "error": f"device backend unavailable: {err}",
+    }))
+    sys.stdout.flush()
+    os._exit(1)
 
 
 def main():
     enable_compilation_cache()
+    _require_devices()
     preset = os.environ.get("BENCH_PRESET", "full")
     tiny = preset == "tiny"
     steps = int(os.environ.get("BENCH_STEPS", "4" if not tiny else "3"))
