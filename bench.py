@@ -72,9 +72,12 @@ def main():
     from emernerf_tpu.train.step import build_train_step, init_train_state
 
     # BENCH_OVERRIDES="a.b=1,c.d=2" benches a config variant without
-    # editing configs/ (the committed default is what the driver measures)
-    overrides = [s for s in os.environ.get("BENCH_OVERRIDES", "").split(",")
-                 if s]
+    # editing configs/ (the committed default is what the driver measures).
+    # A ";" separator is also accepted — required when an override VALUE
+    # contains commas (e.g. num_samples_per_prop=[64,32])
+    raw = os.environ.get("BENCH_OVERRIDES", "")
+    sep = ";" if ";" in raw else ","
+    overrides = [s for s in raw.split(sep) if s]
     cfg, dataset, model, prop_models, step_cfg = build_flagship(
         tiny=tiny, overrides=overrides
     )
