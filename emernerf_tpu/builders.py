@@ -250,6 +250,12 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
     return TrainStepConfig(
         num_samples=cfg.nerf.sampling.num_samples,
         prop_samples=tuple(cfg.nerf.propnet.num_samples_per_prop),
+        lidar_prop_samples=(
+            tuple(int(v) for v in lidar_prop)
+            if (lidar_prop := cfg.nerf.propnet.get(
+                "lidar_num_samples_per_prop", None))
+            else None
+        ),
         near_plane=cfg.nerf.propnet.near_plane,
         far_plane=cfg.nerf.propnet.far_plane,
         sampling_type=cfg.nerf.propnet.sampling_type,

@@ -120,6 +120,13 @@ class TrainStepConfig:
     # branch.  -1 = use ``sample_topk``.  Ignored by ``fused_branches``
     # (one combined render can only have one K).
     lidar_sample_topk: int = -1
+    # per-branch proposal sample counts for the lidar branch (e.g.
+    # (64, 32)): the density-only branch needs the proposal hierarchy only
+    # to localize the single lidar return, so it tolerates coarser
+    # proposals than the RGB branch — halving cuts ~1/6 of the step's
+    # prop-grid gather/scatter rows (PERF_NOTES round-3 queue #2).
+    # None = use ``prop_samples``.  Ignored by ``fused_branches``.
+    lidar_prop_samples: Optional[Tuple[int, ...]] = None
 
 
 def _psnr(pred, gt):
@@ -182,6 +189,11 @@ def build_train_step(
             cfg.lidar_sample_topk
             if cfg.lidar_sample_topk >= 0
             else cfg.sample_topk
+        ),
+        prop_samples=(
+            tuple(cfg.lidar_prop_samples)
+            if cfg.lidar_prop_samples is not None
+            else tuple(cfg.prop_samples)
         ),
     )
 

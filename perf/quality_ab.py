@@ -63,6 +63,9 @@ VARIANTS = {
     # gather rows/step at the reference's [128, 64]; the sampler's
     # compare-all fusions scale the same way)
     "prop6432": ["nerf.propnet.num_samples_per_prop=[64,32]"],
+    # halved proposal counts on the lidar branch only (the density-only
+    # branch needs the hierarchy only to localize the lidar return)
+    "lprop6432": ["nerf.propnet.lidar_num_samples_per_prop=[64,32]"],
 }
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

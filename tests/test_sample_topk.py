@@ -188,7 +188,9 @@ def test_eval_renderer_sample_topk_close_to_exact():
 def test_lidar_sample_topk_trains_finitely():
     """A more aggressive K on the density-only lidar branch
     (TrainStepConfig.lidar_sample_topk) still produces finite losses and
-    nonzero table gradients through both branches."""
+    nonzero table gradients through both branches.  Also exercises the
+    per-branch lidar proposal sample counts (lidar_prop_samples) in the
+    same compiled step."""
     from emernerf_tpu.data.scene import (
         SceneTensors,
         sample_lidar_batch,
@@ -227,7 +229,7 @@ def test_lidar_sample_topk_trains_finitely():
     cfg = TrainStepConfig(
         num_samples=8, prop_samples=(16,), has_lidar=True,
         use_sky_loss=True, los_start_iter=0, num_iters=20,
-        sample_topk=6, lidar_sample_topk=3,
+        sample_topk=6, lidar_sample_topk=3, lidar_prop_samples=(8,),
     )
     key = jax.random.PRNGKey(0)
     pb = sample_pixel_batch(scene, key, 32, use_timestamps=False)

@@ -238,6 +238,20 @@ def test_fused_topk_quality_parity():
     )
 
 
+def test_lidar_prop_samples_config_roundtrip():
+    """configs nerf.propnet.lidar_num_samples_per_prop reaches
+    TrainStepConfig.lidar_prop_samples (None when unset — the default)."""
+    from emernerf_tpu.flagship import build_flagship
+
+    _, _, _, _, step_cfg = build_flagship(tiny=True)
+    assert step_cfg.lidar_prop_samples is None
+    _, _, _, _, step_cfg = build_flagship(
+        tiny=True,
+        overrides=["nerf.propnet.lidar_num_samples_per_prop=[4,2]"],
+    )
+    assert step_cfg.lidar_prop_samples == (4, 2)
+
+
 @pytest.mark.slow
 def test_train_state_step_advances_and_lr_logged():
     scene_np, scene = _make_scene()
