@@ -288,11 +288,11 @@ def test_brick_vs_hash_psnr_parity():
     psnr_brick = run("brick")
     print(f"\n[parity] hash={psnr_hash:.3f} dB brick={psnr_brick:.3f} dB "
           f"delta={psnr_brick - psnr_hash:+.3f}")
-    # both must train, and brick must be within 0.5 dB of the exact hash
+    # both must train, and brick must be within 0.3 dB of the exact hash
     # (measured: brick LEADS hash by ~+0.44 dB at this scale; the gate was
-    # 1.5 dB in round 1 — tightened per the 0.2 dB north-star direction)
+    # 1.5 dB in round 1, 0.5 in round 2 — now at the VERDICT #2 target)
     assert psnr_brick > 15.0, f"brick failed to train: {psnr_brick:.2f} dB"
-    assert psnr_brick > psnr_hash - 0.5, (
+    assert psnr_brick > psnr_hash - 0.3, (
         f"brick quality gap too large: {psnr_brick:.2f} vs {psnr_hash:.2f}"
     )
 
