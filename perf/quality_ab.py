@@ -66,7 +66,29 @@ VARIANTS = {
     # halved proposal counts on the lidar branch only (the density-only
     # branch needs the hierarchy only to localize the lidar return)
     "lprop6432": ["nerf.propnet.lidar_num_samples_per_prop=[64,32]"],
+    # JOINT reference-semantics stack (VERDICT r2 #3): every default-on
+    # TPU divergence off at once — tcnn-layout hash grids (which also
+    # disables fuse_flow_grid and time_pair: both are brick-row layouts,
+    # builders.py:163), warp every sample, shade every sample on both
+    # branches.  Reference: radiance_field.py:553-620, render_utils.py:326-347.
+    "refsem": ["nerf.model.grid_backend=hash",
+               "nerf.model.head.temporal_agg_topk=0",
+               "nerf.sampling.sample_topk=0",
+               "nerf.sampling.lidar_sample_topk=0"],
+    # staged lidar-K (VERDICT r2 #5): prune the density-only lidar branch
+    # to 16 samples for the first 90% of steps, full 64 for the last 10%
+    # (a second compiled variant, like the rg switch) to recover the
+    # end-of-schedule depth accuracy that constant K=16 loses.
+    "stagedl16": ["nerf.sampling.sample_topk=32",
+                  "nerf.sampling.sample_topk_temp=0.3",
+                  "nerf.sampling.lidar_sample_topk=16",
+                  "nerf.sampling.lidar_topk_until=0.9"],
 }
+
+# Variants recorded at or after round 3 run on the pruning-on defaults
+# (sample_topk=32, lidar_sample_topk=16 — commit bb10e44); their base
+# curve is the "stopk32l16" entry, NOT "base" (old pre-pruning defaults).
+R3_BASE = "stopk32l16"
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "QUALITY_r02.json")
@@ -131,6 +153,7 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
                     "step": it + 1,
                     "psnr": round(float(np.median(w)), 3),
                     "range_rmse": round(float(np.median(r)), 3),
+                    "t": round(time.time() - t0, 1),
                 }
             )
             print(f"[{name}] {it + 1}/{steps}  psnr {curve[-1]['psnr']:.2f} "
@@ -145,13 +168,24 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
 
 
 def _write_result(name, steps, wall, curve, partial):
+    # steady-state step time: slope of the curve timestamps AFTER the first
+    # record window, so compile + rg-warmup wall time is excluded (VERDICT
+    # r2 weak #6: the old ms_per_step conflated them and got misquoted).
+    steady = None
+    timed = [c for c in curve if "t" in c]
+    if len(timed) >= 2:
+        dt = timed[-1]["t"] - timed[0]["t"]
+        dstep = timed[-1]["step"] - timed[0]["step"]
+        if dstep > 0:
+            steady = round(dt / dstep * 1e3, 1)
     result = {
         "steps": steps,
         "steps_done": curve[-1]["step"] if curve else 0,
         "partial": partial,
         "wall_s": round(wall, 1),
-        "ms_per_step": round(wall / max(curve[-1]["step"], 1) * 1e3, 1)
-        if curve else None,
+        "wall_ms_per_step_incl_compile": round(
+            wall / max(curve[-1]["step"], 1) * 1e3, 1) if curve else None,
+        "steady_ms_per_step": steady,
         "final_psnr": curve[-1]["psnr"] if curve else None,
         "final_range_rmse": curve[-1]["range_rmse"] if curve else None,
         "curve": curve,

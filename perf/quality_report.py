@@ -2,11 +2,28 @@
 """Summarize perf/QUALITY_r02.json: per-variant dB deltas vs base at the
 largest COMMON step (variants killed by the queue timeout still compare
 fairly), plus speed. Used to decide which TPU-first divergences stay
-default-on (VERDICT round-1 #2)."""
+default-on (VERDICT round-1 #2).
+
+Base selection: variants recorded on the pre-pruning defaults (round 2,
+before commit bb10e44) compare vs "base"; variants recorded on the
+pruning-on defaults (round 3+, listed in R3_VARIANTS) compare vs
+"stopk32l16", which IS the current-default curve.
+"""
 
 import json
 import os
 import sys
+
+# recorded on pruning-on defaults -> base is the stopk32l16 curve
+R3_VARIANTS = {"hash", "refsem", "stagedl16", "nofuse", "timepair0",
+               "onehot0", "lprop6432", "prop6432", "planes", "merge"}
+
+
+def _ms(v):
+    """Steady-state step time if recorded; legacy ms_per_step otherwise.
+    None (not a substituted base value) when timing is missing — ADVICE r2."""
+    return v.get("steady_ms_per_step") or v.get("ms_per_step") \
+        or v.get("wall_ms_per_step_incl_compile")
 
 
 def main():
@@ -15,14 +32,18 @@ def main():
     d = json.load(open(path))
     if "base" not in d:
         sys.exit("no base variant yet")
-    base_curve = {c["step"]: c for c in d["base"]["curve"]}
-    print(f"{'variant':<14}{'@step':>6}{'psnr':>8}{'d_psnr':>8}"
+    print(f"{'variant':<14}{'base':<11}{'@step':>6}{'psnr':>8}{'d_psnr':>8}"
           f"{'rmse':>7}{'ms/step':>9}{'speed x':>8}")
-    base_ms = d["base"]["ms_per_step"]
     rows = {}
     for name, v in d.items():
         if not v["curve"]:
             continue
+        base_name = "stopk32l16" if name in R3_VARIANTS else "base"
+        if base_name not in d:
+            continue
+        base = d[base_name]
+        base_curve = {c["step"]: c for c in base["curve"]}
+        base_ms = _ms(base)
         common = max(
             (s for s in base_curve if s <= v["curve"][-1]["step"]),
             default=None,
@@ -33,18 +54,21 @@ def main():
         if vc is None:
             continue
         b = base_curve[common]
-        ms = v["ms_per_step"] or base_ms
-        print(f"{name:<14}{common:>6}{vc['psnr']:>8.2f}"
+        ms = _ms(v)
+        speed = round(base_ms / ms, 3) if (ms and base_ms) else None
+        print(f"{name:<14}{base_name:<11}{common:>6}{vc['psnr']:>8.2f}"
               f"{vc['psnr'] - b['psnr']:>+8.2f}{vc['range_rmse']:>7.2f}"
-              f"{ms:>9.1f}{base_ms / ms:>8.2f}")
+              f"{ms or float('nan'):>9.1f}"
+              f"{speed if speed is not None else float('nan'):>8.2f}")
         rows[name] = {
+            "base": base_name,
             "common_step": common,
             "psnr": vc["psnr"],
             "d_psnr_vs_base": round(vc["psnr"] - b["psnr"], 3),
             "range_rmse": vc["range_rmse"],
             "base_range_rmse": b["range_rmse"],
-            "ms_per_step": ms,
-            "speedup_vs_base": round(base_ms / ms, 3),
+            "steady_ms_per_step": ms,
+            "speedup_vs_base": speed,
             # north-star gate (BASELINE.md 0.2 dB; VERDICT r1 #2 asks
             # <= 0.3): |d| covers both directions — a reference-semantics
             # comparator (hash/nofuse/timepair0/topk0) must not beat base
