@@ -247,14 +247,27 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         and cfg.data.lidar_source.load_lidar
         and sup.depth.enable
     )
+    lidar_prop = cfg.nerf.propnet.get("lidar_num_samples_per_prop", None)
+    if lidar_prop:
+        n_props = len(cfg.nerf.propnet.num_samples_per_prop)
+        if len(lidar_prop) != n_props:
+            raise ValueError(
+                "nerf.propnet.lidar_num_samples_per_prop must have one entry "
+                f"per proposal model ({n_props}), got {list(lidar_prop)} — "
+                "the lidar branch shares the proposal networks, only the "
+                "per-level sample counts may differ"
+            )
+        if cfg.optim.get("fused_lidar_branch", False):
+            raise ValueError(
+                "nerf.propnet.lidar_num_samples_per_prop has no effect with "
+                "optim.fused_lidar_branch=true (one combined render has one "
+                "proposal hierarchy); unset one of the two"
+            )
     return TrainStepConfig(
         num_samples=cfg.nerf.sampling.num_samples,
         prop_samples=tuple(cfg.nerf.propnet.num_samples_per_prop),
         lidar_prop_samples=(
-            tuple(int(v) for v in lidar_prop)
-            if (lidar_prop := cfg.nerf.propnet.get(
-                "lidar_num_samples_per_prop", None))
-            else None
+            tuple(int(v) for v in lidar_prop) if lidar_prop else None
         ),
         near_plane=cfg.nerf.propnet.near_plane,
         far_plane=cfg.nerf.propnet.far_plane,
@@ -262,6 +275,9 @@ def build_train_step_config(cfg: ConfigNode, dataset: SceneDataset) -> TrainStep
         sample_topk=int(cfg.nerf.sampling.get("sample_topk", 0)),
         sample_topk_temp=float(cfg.nerf.sampling.get("sample_topk_temp", 0.0)),
         lidar_sample_topk=int(cfg.nerf.sampling.get("lidar_sample_topk", -1)),
+        lidar_topk_until=float(
+            cfg.nerf.sampling.get("lidar_topk_until", 1.0)
+        ),
         enable_anti_aliasing=cfg.nerf.propnet.enable_anti_aliasing_level_loss,
         pulse_widths=tuple(cfg.nerf.propnet.anti_aliasing_pulse_width),
         rgb_loss_type=sup.rgb.loss_type,

@@ -42,7 +42,8 @@ def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     rep = replicated_sharding(mesh)
     shard = batch_sharding(mesh, axis_name)
 
-    def wrapped(state, pixel_batch, lidar_batch, key, *, pixel_rg, lidar_rg):
+    def wrapped(state, pixel_batch, lidar_batch, key, *, pixel_rg, lidar_rg,
+                lidar_full=False):
         state = jax.device_put(state, rep)
         pixel_batch = jax.device_put(pixel_batch, shard)
         if lidar_batch is not None:
@@ -50,7 +51,7 @@ def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
         key = jax.device_put(key, rep)
         return train_step(
             state, pixel_batch, lidar_batch, key,
-            pixel_rg=pixel_rg, lidar_rg=lidar_rg,
+            pixel_rg=pixel_rg, lidar_rg=lidar_rg, lidar_full=lidar_full,
         )
 
     return wrapped

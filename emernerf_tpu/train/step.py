@@ -120,6 +120,16 @@ class TrainStepConfig:
     # branch.  -1 = use ``sample_topk``.  Ignored by ``fused_branches``
     # (one combined render can only have one K).
     lidar_sample_topk: int = -1
+    # staged lidar-K (VERDICT r2 #5): fraction of the schedule after which
+    # the lidar branch renders UNPRUNED (sample_topk=0).  Constant K=16
+    # prunes the far tail of every lidar ray for the whole run and ends
+    # 2500 steps with ~2x the range RMSE of the unpruned baseline; giving
+    # the last (1 - lidar_topk_until) of the schedule the full 64 samples
+    # recovers the final depth accuracy at ~the pruned wall rate.  The
+    # switch is a second compiled step variant selected by the host loop
+    # (static ``lidar_full`` arg), exactly like the rg schedule.  1.0 =
+    # never switch (constant K).
+    lidar_topk_until: float = 1.0
     # per-branch proposal sample counts for the lidar branch (e.g.
     # (64, 32)): the density-only branch needs the proposal hierarchy only
     # to localize the single lidar return, so it tolerates coarser
@@ -174,6 +184,18 @@ def build_train_step(
     lr_fn = chained_lr_schedule(cfg.lr, cfg.num_iters)
     steps_per_iter = 2 if cfg.has_lidar else 1
 
+    if cfg.fused_branches and cfg.lidar_prop_samples is not None:
+        # ADVICE r2: a user enabling both would silently measure nothing
+        raise ValueError(
+            "lidar_prop_samples has no effect with fused_branches=True "
+            "(one combined render has one proposal hierarchy)"
+        )
+    if cfg.fused_branches and cfg.lidar_topk_until < 1.0:
+        raise ValueError(
+            "lidar_topk_until (staged lidar-K) has no effect with "
+            "fused_branches=True (one combined render has one sample_topk)"
+        )
+
     render_kw = dict(
         num_samples=cfg.num_samples,
         prop_samples=tuple(cfg.prop_samples),
@@ -196,6 +218,8 @@ def build_train_step(
             else tuple(cfg.prop_samples)
         ),
     )
+    # staged lidar-K end-of-schedule variant: full 64-sample shading
+    lidar_render_kw_full = dict(lidar_render_kw, sample_topk=0)
 
     # ---------------- pixel branch ---------------- #
     def _pixel_losses(out, extras, batch):
@@ -287,14 +311,15 @@ def build_train_step(
             )
         return losses
 
-    def lidar_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad):
+    def lidar_loss_fn(params_tuple, batch, key, agg_key, step, requires_grad,
+                      full=False):
         params, prop_params = params_tuple
         out, caches, s_vals = render_ray_batch(
             model, params, prop_models, prop_params, batch, key,
             stratified=True, proposal_requires_grad=requires_grad,
             is_lidar=True, train=True, rngs={"aggregation": agg_key},
             remat=cfg.remat or os.environ.get("EMERNERF_REMAT", "0") == "1",
-            **lidar_render_kw,
+            **(lidar_render_kw_full if full else lidar_render_kw),
         )
         extras = out["extras"]
         losses = _lidar_losses(out, extras, batch, step)
@@ -386,6 +411,7 @@ def build_train_step(
         key,
         pixel_rg: bool,
         lidar_rg: bool,
+        lidar_full: bool = False,
     ):
         step = state.step
         metrics: Dict[str, jnp.ndarray] = {}
@@ -438,7 +464,7 @@ def build_train_step(
             (_, laux), lgrads = jax.value_and_grad(
                 lidar_loss_fn, has_aux=True
             )((params, prop_params), lidar_batch, k_lid, k_lid_agg, step,
-              lidar_rg)
+              lidar_rg, lidar_full)
             lg_model, lg_prop = lgrads
             lr2 = lr_fn(sched_count + 1)
             if lidar_rg:
@@ -461,8 +487,19 @@ def build_train_step(
 
     return jax.jit(
         train_step,
-        static_argnames=("pixel_rg", "lidar_rg"),
+        static_argnames=("pixel_rg", "lidar_rg", "lidar_full"),
         donate_argnames=("state",),
+    )
+
+
+def lidar_full_at(cfg: TrainStepConfig, it: int) -> bool:
+    """Host-side staged lidar-K schedule: True once ``it`` passes
+    ``lidar_topk_until`` of the run (and staging is active)."""
+    return (
+        cfg.has_lidar
+        and cfg.lidar_topk_until < 1.0
+        and (cfg.lidar_sample_topk > 0 or cfg.sample_topk > 0)
+        and it >= cfg.lidar_topk_until * cfg.num_iters
     )
 
 

@@ -37,7 +37,7 @@ from emernerf_tpu.eval.renderer import ImageRenderer
 from emernerf_tpu.eval.video import save_videos
 from emernerf_tpu.render.prop_sampler import proposal_requires_grad_schedule
 from emernerf_tpu.train.checkpoints import load_checkpoint, save_checkpoint
-from emernerf_tpu.train.step import build_train_step, init_train_state
+from emernerf_tpu.train.step import build_train_step, init_train_state, lidar_full_at
 from emernerf_tpu.utils.logging import MetricLogger
 
 logger = logging.getLogger("emernerf_tpu")
@@ -230,6 +230,7 @@ class Trainer:
             self.state, m = self.train_step(
                 self.state, pixel_batch, lidar_batch, k_s,
                 pixel_rg=pixel_rg, lidar_rg=lidar_rg,
+                lidar_full=lidar_full_at(self.step_cfg, int(step)),
             )
 
             if prof_start >= 0 and step == prof_start + prof_iters:

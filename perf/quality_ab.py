@@ -100,7 +100,7 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
 
     from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
     from emernerf_tpu.flagship import build_flagship
-    from emernerf_tpu.train.step import build_train_step, init_train_state
+    from emernerf_tpu.train.step import build_train_step, init_train_state, lidar_full_at
     from emernerf_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -141,7 +141,8 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
         pixel_batch, lidar_batch = make_batches(scene, k_b)
         rg = it < 512 or it % 5 == 0
         state, m = step_fn(state, pixel_batch, lidar_batch, k_s,
-                           pixel_rg=rg, lidar_rg=rg)
+                           pixel_rg=rg, lidar_rg=rg,
+                           lidar_full=lidar_full_at(step_cfg, it))
         psnrs.append(m["psnr"])
         rmses.append(m["range_rmse"])
         if (it + 1) % record_every == 0:

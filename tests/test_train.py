@@ -1,5 +1,6 @@
 """End-to-end training tests on the analytic synthetic scene."""
 
+from dataclasses import replace as dataclasses_replace
 from functools import partial
 
 import jax
@@ -236,6 +237,56 @@ def test_fused_topk_quality_parity():
     assert psnr_topk > psnr_ref - 0.3, (
         f"top-k aggregation quality gap: {psnr_topk:.2f} vs {psnr_ref:.2f}"
     )
+
+
+def test_staged_lidar_topk_schedule_and_step():
+    """Staged lidar-K (VERDICT r2 #5): lidar_full_at flips at
+    lidar_topk_until * num_iters, and both compiled step variants
+    (pruned / full lidar shading) run and advance the state."""
+    from emernerf_tpu.train.step import lidar_full_at
+
+    cfg = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=True,
+                          sample_topk=4, sample_topk_temp=0.0,
+                          lidar_sample_topk=4, lidar_topk_until=0.9,
+                          num_iters=100, use_sky_loss=False)
+    assert not lidar_full_at(cfg, 0)
+    assert not lidar_full_at(cfg, 89)
+    assert lidar_full_at(cfg, 90) and lidar_full_at(cfg, 99)
+    # inactive when staging is off or there is nothing to unprune
+    assert not lidar_full_at(
+        dataclasses_replace(cfg, lidar_topk_until=1.0), 99)
+    assert not lidar_full_at(
+        dataclasses_replace(cfg, sample_topk=0, lidar_sample_topk=0), 99)
+
+    scene_np, scene = _make_scene()
+    model, props = _make_models(scene_np)
+    key = jax.random.PRNGKey(0)
+    pb = sample_pixel_batch(scene, key, 64)
+    lb = sample_lidar_batch(scene, key, 64)
+    state = init_train_state(model, props, cfg, key, pb)
+    step_fn = build_train_step(model, props, cfg)
+    state, m0 = step_fn(state, pb, lb, key, pixel_rg=True, lidar_rg=True,
+                        lidar_full=False)
+    state, m1 = step_fn(state, pb, lb, key, pixel_rg=True, lidar_rg=True,
+                        lidar_full=True)
+    assert int(state.step) == 2
+    assert np.isfinite(float(m0["range_rmse"]))
+    assert np.isfinite(float(m1["range_rmse"]))
+
+
+def test_staged_lidar_topk_rejected_with_fused_branches():
+    scene_np, scene = _make_scene()
+    model, props = _make_models(scene_np)
+    cfg = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=True,
+                          fused_branches=True, lidar_topk_until=0.9,
+                          sample_topk=4, use_sky_loss=False, num_iters=100)
+    with pytest.raises(ValueError, match="lidar_topk_until"):
+        build_train_step(model, props, cfg)
+    cfg2 = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=True,
+                           fused_branches=True, lidar_prop_samples=(8,),
+                           use_sky_loss=False, num_iters=100)
+    with pytest.raises(ValueError, match="lidar_prop_samples"):
+        build_train_step(model, props, cfg2)
 
 
 def test_lidar_prop_samples_config_roundtrip():
