@@ -171,6 +171,8 @@ def build_train_step(
     model,
     prop_models: Sequence,
     cfg: TrainStepConfig,
+    mesh=None,
+    spmd=None,
 ):
     """Returns jitted ``train_step(state, pixel_batch, lidar_batch, key,
     pixel_rg, lidar_rg) -> (new_state, metrics)``.
@@ -179,10 +181,46 @@ def build_train_step(
       pixel: origins, viewdirs, pixels, + optional sky_masks, features,
              normed_timestamps, img_idx, cam_idx, pixel_coords
       lidar: origins, viewdirs, ranges, normed_timestamps
+
+    With ``mesh`` the step runs under ``shard_map`` over the data axis with
+    EXPLICIT collectives per ``spmd`` (parallel/spmd.py): bf16 gradient
+    psum and optionally ZeRO (reduce-scattered big-table grads + sharded
+    Adam moments).  ``mesh=None`` keeps the single-program path (the
+    implicit-SPMD wrapper in parallel/mesh.py still works on top of it).
     """
     tx = make_adam(cfg.weight_decay)
     lr_fn = chained_lr_schedule(cfg.lr, cfg.num_iters)
     steps_per_iter = 2 if cfg.has_lidar else 1
+
+    n_shards = 1
+    if mesh is not None:
+        from emernerf_tpu.parallel.spmd import (
+            SpmdConfig,
+            reduce_grads,
+            spmd_apply_update,
+        )
+
+        spmd = spmd if spmd is not None else SpmdConfig()
+        n_shards = mesh.devices.size
+
+    def _reduce(grads):
+        if mesh is None:
+            return grads
+        return reduce_grads(grads, spmd, n_shards)
+
+    def _apply(grads, opt_state, params, lr):
+        if mesh is None:
+            return apply_update(tx, grads, opt_state, params, lr)
+        return spmd_apply_update(
+            grads, opt_state, params, lr, spmd, n_shards, cfg.weight_decay
+        )
+
+    def _finalize_metrics(metrics):
+        if mesh is None:
+            return metrics
+        return jax.tree.map(
+            lambda v: jax.lax.pmean(v, spmd.axis_name), metrics
+        )
 
     if cfg.fused_branches and cfg.lidar_prop_samples is not None:
         # ADVICE r2: a user enabling both would silently measure nothing
@@ -418,6 +456,12 @@ def build_train_step(
         params, prop_params = state.params, state.prop_params
         opt_state, prop_opt_state = state.opt_state, state.prop_opt_state
 
+        if mesh is not None:
+            # decorrelate per-chip in-step randomness (gumbel aggregation
+            # noise); batches are already distinct per shard
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(spmd.axis_name)
+            )
         k_pix, k_pix_agg, k_lid, k_lid_agg = jax.random.split(key, 4)
         sched_count = step * steps_per_iter
 
@@ -428,13 +472,13 @@ def build_train_step(
                 joint_loss_fn, has_aux=True
             )((params, prop_params), pixel_batch, lidar_batch, k_pix,
               k_pix_agg, step, rg)
-            g_model, g_prop = grads
+            g_model, g_prop = _reduce(grads)
             lr = lr_fn(sched_count)
             if rg:
-                prop_params, prop_opt_state = apply_update(
-                    tx, g_prop, prop_opt_state, prop_params, lr
+                prop_params, prop_opt_state = _apply(
+                    g_prop, prop_opt_state, prop_params, lr
                 )
-            params, opt_state = apply_update(tx, g_model, opt_state, params, lr)
+            params, opt_state = _apply(g_model, opt_state, params, lr)
             metrics.update(aux)
             metrics["lr"] = lr
             return TrainState(
@@ -443,19 +487,19 @@ def build_train_step(
                 prop_params=prop_params,
                 opt_state=opt_state,
                 prop_opt_state=prop_opt_state,
-            ), metrics
+            ), _finalize_metrics(metrics)
 
         # pixel branch
         (_, aux), grads = jax.value_and_grad(
             pixel_loss_fn, has_aux=True
         )((params, prop_params), pixel_batch, k_pix, k_pix_agg, step, pixel_rg)
-        g_model, g_prop = grads
+        g_model, g_prop = _reduce(grads)
         lr = lr_fn(sched_count)
         if pixel_rg:
-            prop_params, prop_opt_state = apply_update(
-                tx, g_prop, prop_opt_state, prop_params, lr
+            prop_params, prop_opt_state = _apply(
+                g_prop, prop_opt_state, prop_params, lr
             )
-        params, opt_state = apply_update(tx, g_model, opt_state, params, lr)
+        params, opt_state = _apply(g_model, opt_state, params, lr)
         metrics.update(aux)
         metrics["lr"] = lr
 
@@ -465,14 +509,14 @@ def build_train_step(
                 lidar_loss_fn, has_aux=True
             )((params, prop_params), lidar_batch, k_lid, k_lid_agg, step,
               lidar_rg, lidar_full)
-            lg_model, lg_prop = lgrads
+            lg_model, lg_prop = _reduce(lgrads)
             lr2 = lr_fn(sched_count + 1)
             if lidar_rg:
-                prop_params, prop_opt_state = apply_update(
-                    tx, lg_prop, prop_opt_state, prop_params, lr2
+                prop_params, prop_opt_state = _apply(
+                    lg_prop, prop_opt_state, prop_params, lr2
                 )
-            params, opt_state = apply_update(
-                tx, lg_model, opt_state, params, lr2
+            params, opt_state = _apply(
+                lg_model, opt_state, params, lr2
             )
             metrics.update(laux)
 
@@ -483,10 +527,40 @@ def build_train_step(
             opt_state=opt_state,
             prop_opt_state=prop_opt_state,
         )
-        return new_state, metrics
+        return new_state, _finalize_metrics(metrics)
+
+    if mesh is None:
+        return jax.jit(
+            train_step,
+            static_argnames=("pixel_rg", "lidar_rg", "lidar_full"),
+            donate_argnames=("state",),
+        )
+
+    # explicit-collective SPMD: the whole step under shard_map; specs are
+    # computed from the (trace-time) state structure — everything
+    # replicated except the ZeRO-sharded big Adam moments
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from emernerf_tpu.parallel.spmd import state_partition_specs
+
+    def sharded_step(state, pixel_batch, lidar_batch, key,
+                     pixel_rg: bool, lidar_rg: bool, lidar_full: bool = False):
+        specs = state_partition_specs(state, spmd, n_shards)
+        bspec = jax.tree.map(lambda _: P(spmd.axis_name), pixel_batch)
+        lspec = jax.tree.map(lambda _: P(spmd.axis_name), lidar_batch)
+        fn = shard_map(
+            partial(train_step, pixel_rg=pixel_rg, lidar_rg=lidar_rg,
+                    lidar_full=lidar_full),
+            mesh=mesh,
+            in_specs=(specs, bspec, lspec, P()),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state, pixel_batch, lidar_batch, key)
 
     return jax.jit(
-        train_step,
+        sharded_step,
         static_argnames=("pixel_rg", "lidar_rg", "lidar_full"),
         donate_argnames=("state",),
     )

@@ -145,13 +145,40 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         logger.info("Model parameters: %.2fM", n_params / 1e6)
 
-        self.train_step = build_train_step(
-            self.model, self.prop_models, self.step_cfg
+        # multi-chip: explicit-collective shard_map step (bf16 grad psum,
+        # optional ZeRO) by default; parallel.explicit_collectives=false
+        # falls back to the implicit-SPMD wrapper (fp32 all-reduce placed
+        # by XLA) — see perf/MULTICHIP_MODEL.md for the measured cost gap
+        explicit = bool(
+            cfg.get_dotted("parallel.explicit_collectives", True)
         )
-        if self.mesh is not None:
-            from emernerf_tpu.parallel.mesh import shard_train_step
+        if self.mesh is not None and explicit:
+            from emernerf_tpu.parallel.spmd import SpmdConfig, shard_state
 
-            self.train_step = shard_train_step(self.train_step, self.mesh)
+            spmd = SpmdConfig(
+                grad_psum_dtype=str(
+                    cfg.get_dotted("parallel.grad_psum_dtype", "bfloat16")
+                ),
+                zero=bool(cfg.get_dotted("parallel.zero", True)),
+                direction_dtype=str(
+                    cfg.get_dotted("parallel.direction_dtype", "bfloat16")
+                ),
+            )
+            self.state = shard_state(self.state, self.mesh, spmd)
+            self.train_step = build_train_step(
+                self.model, self.prop_models, self.step_cfg,
+                mesh=self.mesh, spmd=spmd,
+            )
+        else:
+            self.train_step = build_train_step(
+                self.model, self.prop_models, self.step_cfg
+            )
+            if self.mesh is not None:
+                from emernerf_tpu.parallel.mesh import shard_train_step
+
+                self.train_step = shard_train_step(
+                    self.train_step, self.mesh
+                )
         self._sample_pixel = jax.jit(
             partial(
                 sample_pixel_batch,

@@ -71,6 +71,17 @@ def collect_collectives(hlo_text: str):
     return out
 
 
+def wire_bytes(kind: str, out_bytes: int, n: int = N_CHIPS) -> float:
+    """Ring-algorithm bytes through each chip's link pair, from the op's
+    OUTPUT size: all-reduce moves 2B(n-1)/n, all-gather B(n-1)/n, and
+    reduce-scatter (output B/n per chip, input B) B(n-1)/n = out*(n-1)."""
+    if kind == "all-reduce":
+        return 2 * out_bytes * (n - 1) / n
+    if kind == "reduce-scatter":
+        return out_bytes * (n - 1)
+    return out_bytes * (n - 1) / n
+
+
 def main():
     import jax
 
@@ -111,12 +122,31 @@ def main():
     for mod in compiled.runtime_executable().hlo_modules():
         colls += collect_collectives(mod.to_string())
 
+    # --- explicit-collective path (parallel/spmd.py): bf16 psum + ZeRO ---
+    from emernerf_tpu.parallel.spmd import SpmdConfig, shard_state
+
+    spmd = SpmdConfig(zero=True, zero_min_elems=1 << 10)
+    z_state = shard_state(jax.tree.map(lambda x: x, state), mesh, spmd)
+    z_step = build_train_step(model, prop_models, step_cfg, mesh=mesh,
+                              spmd=spmd)
+    z_compiled = z_step.lower(
+        z_state, a_pixel, a_lidar, a_key, pixel_rg=True, lidar_rg=True
+    ).compile()
+    z_colls = []
+    for mod in z_compiled.runtime_executable().hlo_modules():
+        z_colls += collect_collectives(mod.to_string())
+
     by_kind = {}
     biggest = sorted(colls, key=lambda c: -c[1])[:6]
     for kind, nbytes, _ in colls:
         by_kind.setdefault(kind, [0, 0])
         by_kind[kind][0] += 1
         by_kind[kind][1] += nbytes
+    z_by_kind = {}
+    for kind, nbytes, _ in z_colls:
+        z_by_kind.setdefault(kind, [0, 0])
+        z_by_kind[kind][0] += 1
+        z_by_kind[kind][1] += nbytes
 
     lines = ["# Multi-chip step: measured collectives + cost model", ""]
     lines.append(
@@ -136,6 +166,37 @@ def main():
         for kind, nbytes, txt in biggest:
             lines.append(f"- {nbytes / 1e3:.1f} KB {kind}: `{txt}`")
         lines.append("")
+
+    imp_bytes = sum(wire_bytes(k, b) for k, b, _ in colls)
+    exp_bytes = sum(wire_bytes(k, b) for k, b, _ in z_colls)
+    lines += [
+        "## Explicit-collective path (parallel/spmd.py: bf16 psum + ZeRO)",
+        "",
+        "Same step AOT-compiled via the shard_map path "
+        "(grad_psum_dtype=bfloat16, zero=true, direction_dtype=bfloat16):",
+        "",
+    ]
+    for kind, (cnt, nbytes) in sorted(z_by_kind.items()):
+        lines.append(
+            f"- {kind}: {cnt} ops, {nbytes / 1e6:.2f} MB/step (tiny shapes)"
+        )
+    lines += [
+        "",
+        f"Ring-model wire bytes per chip (as compiled for CPU): implicit "
+        f"fp32 path {imp_bytes / 1e6:.2f} MB vs explicit ZeRO "
+        f"{exp_bytes / 1e6:.2f} MB per step.  CAVEAT: XLA:CPU "
+        "canonicalizes the bf16 collectives back to f32 (the HLO shows "
+        "convert fusions around every reduce-scatter/all-gather), so the "
+        "virtual-mesh measurement validates the STRUCTURE — one "
+        "reduce-scatter + one direction all-gather per big table per "
+        "branch, no full-gradient all-reduce — while the dtype factor is "
+        "analytic: fp32 all-reduce moves 8 B/param/branch, bf16 "
+        "reduce-scatter + bf16 all-gather 3.5 B/param/branch, a 2.3x "
+        "wire cut on ICI (where bf16 collectives are native).  Per-chip "
+        "optimizer-moment HBM for the routed tables additionally drops "
+        "8x (sharded mu/nu), and the Adam update math shrinks 8x.",
+        "",
+    ]
 
     # analytic scale-up to full-size tables
     _, _, full_model, full_props, _ = build_flagship(tiny=False)

@@ -83,7 +83,29 @@ VARIANTS = {
                   "nerf.sampling.sample_topk_temp=0.3",
                   "nerf.sampling.lidar_sample_topk=16",
                   "nerf.sampling.lidar_topk_until=0.9"],
+    # JOINT reference-semantics stack MINUS the grid backend: every
+    # pruning/fusion divergence off at once, brick grids kept (the full
+    # `refsem` with tcnn-layout hash grids measures ~25x slower steps —
+    # economically unrunnable for 2500 flagship steps on one chip; the
+    # backend itself is gated separately by the matched brick4k/hash4k
+    # pair below).  +timepair0 applied via spec rebuild.
+    "refsembrick": ["nerf.model.head.temporal_agg_topk=0",
+                    "nerf.sampling.sample_topk=0",
+                    "nerf.sampling.lidar_sample_topk=0",
+                    "nerf.model.fuse_flow_grid=false"],
+    # matched brick-vs-hash pair at 1/4 ray batch: full-size flagship
+    # model (real table sizes -> real hash-collision rates), 4096+4096
+    # rays, same steps — the scale where the reference-exact hash layout
+    # is affordable on one chip.  THE brick-grid quality gate (VERDICT
+    # r2 #2) when the full-batch `hash` run can only reach a few hundred
+    # steps inside its timeout.
+    "brick4k": ["data.ray_batch_size=4096"],
+    "hash4k": ["data.ray_batch_size=4096",
+               "nerf.model.grid_backend=hash"],
 }
+
+# variants whose spec rebuild turns off the 4D time-paired rows
+_TIMEPAIR0 = {"timepair0", "refsembrick"}
 
 # Variants recorded at or after round 3 run on the pruning-on defaults
 # (sample_topk=32, lidar_sample_topk=16 — commit bb10e44); their base
@@ -110,14 +132,16 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
     cfg, dataset, model, prop_models, step_cfg = build_flagship(
         overrides=[f"optim.num_iters={steps}", *overrides]
     )
-    if name == "timepair0":
+    if name in _TIMEPAIR0:
         import dataclasses
 
-        model = model.clone(
-            dynamic_spec=dataclasses.replace(
-                model.dynamic_spec, time_pair=False
-            )
-        )
+        kw = {}
+        for attr in ("dynamic_spec", "flow_spec"):
+            spec = getattr(model, attr, None)
+            if spec is not None and getattr(spec, "time_pair", False):
+                kw[attr] = dataclasses.replace(spec, time_pair=False)
+        if kw:
+            model = model.clone(**kw)
     scene = dataset.scene_tensors()
     key = jax.random.PRNGKey(0)
     ray_batch = cfg.data.ray_batch_size

@@ -15,8 +15,12 @@ import os
 import sys
 
 # recorded on pruning-on defaults -> base is the stopk32l16 curve
-R3_VARIANTS = {"hash", "refsem", "stagedl16", "nofuse", "timepair0",
-               "onehot0", "lprop6432", "prop6432", "planes", "merge"}
+R3_VARIANTS = {"hash", "refsem", "refsembrick", "stagedl16", "nofuse",
+               "timepair0", "onehot0", "lprop6432", "prop6432", "planes",
+               "merge", "brick4k", "hash4k"}
+
+# matched pairs measured against each other, not the default curve
+BASE_OVERRIDE = {"hash4k": "brick4k"}
 
 
 def _ms(v):
@@ -38,7 +42,9 @@ def main():
     for name, v in d.items():
         if not v["curve"]:
             continue
-        base_name = "stopk32l16" if name in R3_VARIANTS else "base"
+        base_name = BASE_OVERRIDE.get(
+            name, "stopk32l16" if name in R3_VARIANTS else "base"
+        )
         if base_name not in d:
             continue
         base = d[base_name]

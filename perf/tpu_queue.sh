@@ -18,10 +18,11 @@ STEPS=${STEPS:-2500}
 ABT=${ABT:-4500}      # per-variant wall timeout (compile 150-900 s + run)
 
 # --- quality A/Bs (priority order) ---
-# hash    = THE brick-grid gate (VERDICT r2 #2)
-# refsem  = joint reference-semantics stack at matched iterations (r2 #3)
-# both use the tcnn-layout encoder (slower step) -> bigger timeout below.
-for v in hash refsem nofuse timepair0 onehot0 stagedl16; do
+# refsembrick = joint reference-semantics stack minus backend (r2 #3)
+# brick4k/hash4k = THE brick-grid gate as an affordable matched pair (#2)
+# stagedl16 = end-of-schedule depth fix candidate default (#5)
+run_variant() {
+  v="$1"; t="$2"; s="$3"
   if python - "$v" <<'EOF'
 import json, sys
 try:
@@ -32,13 +33,19 @@ r = d.get(sys.argv[1])
 sys.exit(0 if not (r and not r.get("partial", False)) else 1)
 EOF
   then
-    t="$ABT"
-    case "$v" in hash|refsem) t=7200;; esac
-    echo "=== quality_ab $v ($(date -u +%H:%M:%S), timeout ${t}s) ==="
-    timeout "$t" python perf/quality_ab.py --variant "$v" --steps "$STEPS"
+    echo "=== quality_ab $v ($(date -u +%H:%M:%S), timeout ${t}s, steps $s) ==="
+    timeout "$t" python perf/quality_ab.py --variant "$v" --steps "$s"
   else
     echo "=== $v already complete, skipping ==="
   fi
-done
+}
+
+run_variant refsembrick 7200 "$STEPS"
+run_variant brick4k     2700 1000
+run_variant hash4k      7200 1000
+run_variant stagedl16   4500 "$STEPS"
+run_variant onehot0     4500 "$STEPS"
+run_variant nofuse      5400 "$STEPS"
+run_variant timepair0   4500 "$STEPS"
 
 echo "=== queue done ($(date -u +%H:%M:%S)) ==="
