@@ -50,6 +50,20 @@ def make_grid_spec(
             n_features_per_level=n_features_per_level,
             gather_mode=perf.get("gather_mode", "2d"),
         )
+    if backend == "mx":
+        from emernerf_tpu.ops.mxgrid import MXGridSpec
+
+        return MXGridSpec(
+            n_input_dims=n_input_dims,
+            n_levels=n_levels,
+            base_resolution=base_resolution,
+            max_resolution=max_resolution,
+            n_features_per_level=n_features_per_level,
+            rank=int(perf.get("mx_rank", 16)),
+            time_resolution=int(perf.get("mx_time_resolution", 64)),
+            chunk=int(perf.get("mx_chunk", 8192)),
+            max_line_resolution=int(perf.get("mx_max_line_resolution", 4096)),
+        )
     if backend == "brick":
         # F=1 grids (proposal nets) use 4^3-cell bricks: the 125-corner row
         # fills the 128-lane tile (a 27-corner F=1 row wastes 4.7x HBM on
@@ -160,7 +174,7 @@ def build_model_from_cfg(cfg: ConfigNode, dataset: SceneDataset) -> RadianceFiel
     # brick backend (halves 4D gather/scatter rows — the dominant train
     # cost); the exact-hash backend keeps the reference's separate grids
     fuse_flow = bool(
-        model_cfg.get("fuse_flow_grid", backend == "brick")
+        model_cfg.get("fuse_flow_grid", backend in ("brick", "mx"))
         and dynamic_spec is not None
         and flow_spec is not None
     )
