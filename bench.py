@@ -78,6 +78,20 @@ def main():
     raw = os.environ.get("BENCH_OVERRIDES", "")
     sep = ";" if ";" in raw else ","
     overrides = [s for s in raw.split(sep) if s]
+    # BENCH_PROFILE=reference measures the REFERENCE work definition —
+    # shade every sample on both branches, warp every sample (no top-K
+    # pruning anywhere), like configs/default_config.yaml:45,60 in the
+    # reference — and records the result into perf/BENCH_PROFILES.json;
+    # the default (pruned-profile) run embeds that recording so the
+    # BENCH JSON always states both work definitions (VERDICT r2 #4).
+    profile = os.environ.get("BENCH_PROFILE", "default")
+    if profile == "reference":
+        overrides = [
+            "nerf.sampling.sample_topk=0",
+            "nerf.sampling.lidar_sample_topk=0",
+            "nerf.model.head.temporal_agg_topk=0",
+            *overrides,
+        ]
     cfg, dataset, model, prop_models, step_cfg = build_flagship(
         tiny=tiny, overrides=overrides
     )
@@ -148,9 +162,41 @@ def main():
         "rg_ms": round(t_rg * 1e3, 1),
         "mixed_ms": round(t_mixed * 1e3, 1),
         "compile_s": round(compile_s, 1),
-        "psnr": round(psnr, 2),
+        # a handful-of-steps training PSNR: a smoke signal that the step
+        # is numerically alive, NOT a quality claim — converged quality
+        # lives in the flagship A/Bs (see quality_ref)
+        "psnr_smoke": round(psnr, 2),
         "chips": n_chips,
+        "work_profile": profile,
+        "quality_ref": "perf/QUALITY_r02.json (base=stopk32l16 curve)",
     }
+    perf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "perf")
+    if profile != "default":
+        # record this profile for embedding into future default runs
+        ppath = os.path.join(perf_dir, "BENCH_PROFILES.json")
+        merged = {}
+        if os.path.exists(ppath):
+            with open(ppath) as f:
+                merged = json.load(f)
+        merged[profile] = {
+            k: result[k]
+            for k in ("value", "no_rg_ms", "rg_ms", "mixed_ms", "chips")
+        }
+        with open(ppath + ".tmp", "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(ppath + ".tmp", ppath)
+    else:
+        # embed previously-recorded profiles + compile probe so the one
+        # BENCH line states both work definitions and warm/cold compile
+        for fname, field in (("BENCH_PROFILES.json", "reference_profile"),
+                             ("COMPILE_PROBE.json", "compile_probe")):
+            path = os.path.join(perf_dir, fname)
+            if os.path.exists(path):
+                with open(path) as f:
+                    d = json.load(f)
+                result[field] = d.get("reference", d) \
+                    if fname == "BENCH_PROFILES.json" else d
     print(json.dumps(result))
     print(
         f"# mixed {t_mixed * 1e3:.1f} ms/step (no-rg {t_norg * 1e3:.1f}, "
