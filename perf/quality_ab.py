@@ -93,6 +93,12 @@ VARIANTS = {
                     "nerf.sampling.sample_topk=0",
                     "nerf.sampling.lidar_sample_topk=0",
                     "nerf.model.fuse_flow_grid=false"],
+    # scatter-free MXU-native encoder (ops/mxgrid.py): dense coarse brick
+    # levels + CP-factorized fine lines, fwd AND bwd as matmuls.  Rank is
+    # the capacity knob; the A/B decides if low-rank fine levels match
+    # hashed-collision fine levels at flagship scale.
+    "mx": ["nerf.model.grid_backend=mx"],
+    "mxr32": ["nerf.model.grid_backend=mx", "nerf.model.perf.mx_rank=32"],
     # matched brick-vs-hash pair at 1/4 ray batch: full-size flagship
     # model (real table sizes -> real hash-collision rates), 4096+4096
     # rays, same steps — the scale where the reference-exact hash layout
@@ -164,9 +170,22 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
         key, k_b, k_s = jax.random.split(key, 3)
         pixel_batch, lidar_batch = make_batches(scene, k_b)
         rg = it < 512 or it % 5 == 0
-        state, m = step_fn(state, pixel_batch, lidar_batch, k_s,
-                           pixel_rg=rg, lidar_rg=rg,
-                           lidar_full=lidar_full_at(step_cfg, it))
+        # the axon remote-compile tunnel occasionally drops mid-response
+        # (observed killing a 2500-step run at it=512, where the first
+        # rg=False variant compiles); retry the step — recompiles hit the
+        # persistent cache, so a retry is cheap
+        for attempt in range(4):
+            try:
+                state, m = step_fn(state, pixel_batch, lidar_batch, k_s,
+                                   pixel_rg=rg, lidar_rg=rg,
+                                   lidar_full=lidar_full_at(step_cfg, it))
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if attempt == 3:
+                    raise
+                print(f"[{name}] step {it} failed ({e}); retry "
+                      f"{attempt + 1}/3", flush=True)
+                time.sleep(20.0 * (attempt + 1))
         psnrs.append(m["psnr"])
         rmses.append(m["range_rmse"])
         if (it + 1) % record_every == 0:

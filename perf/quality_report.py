@@ -16,8 +16,8 @@ import sys
 
 # recorded on pruning-on defaults -> base is the stopk32l16 curve
 R3_VARIANTS = {"hash", "refsem", "refsembrick", "stagedl16", "nofuse",
-               "timepair0", "onehot0", "lprop6432", "prop6432", "planes",
-               "merge", "brick4k", "hash4k"}
+               "timepair0", "onehot0", "lprop6432", "prop6432",
+               "mx", "mxr8", "mxr32", "brick4k", "hash4k"}
 
 # matched pairs measured against each other, not the default curve
 BASE_OVERRIDE = {"hash4k": "brick4k"}
