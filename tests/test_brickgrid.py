@@ -139,6 +139,7 @@ def test_brickgrid_custom_vjp_matches_autodiff(spec, posgrad_mode,
     assert np.abs(np.asarray(gx_c)).sum() > 0
 
 
+@pytest.mark.slow
 def test_brickgrid_scatter_modes_agree(monkeypatch):
     spec = SPEC3
     table = init_brickgrid_table(jax.random.PRNGKey(0), spec, scale=1.0)

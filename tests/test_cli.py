@@ -6,6 +6,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,6 +39,7 @@ TINY_OVERRIDES = [
 ]
 
 
+@pytest.mark.slow
 def test_cli_train_eval(tmp_path):
     from train_emernerf import get_args_parser, main
 

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emernerf_tpu.eval.metrics import (
     compute_psnr,
@@ -152,6 +153,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                   [0.0, 1.0, 2.0, 3.0])
 
 
+@pytest.mark.slow
 def test_lidar_flow_eval_machinery():
     """Flow eval runs end-to-end on the synthetic scene with GT flows."""
     from emernerf_tpu.builders import build_dataset_from_cfg

@@ -56,6 +56,7 @@ def test_forward_matches_naive_reference(spec_fn):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("spec_fn", [_spec3, _spec4])
 def test_gradients_match_naive_reference(spec_fn):
     """Table AND position cotangents agree with autodiff through the
@@ -121,6 +122,7 @@ def test_brick_prefix_and_factored_split():
     assert spec.table_shape[0] >= spec.num_parameters
 
 
+@pytest.mark.slow
 def test_training_improves_psnr_with_mx_backend():
     """End-to-end: tiny flagship with grid_backend=mx trains on the
     synthetic dynamic scene and PSNR improves."""

@@ -244,6 +244,7 @@ def test_hashgrid_custom_vjp_matches_autodiff():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hashgrid_gather_modes_agree(monkeypatch):
     """The 1d and (chunked) 2d gather formulations are numerically
     identical, including across chunk boundaries."""

@@ -99,6 +99,7 @@ def test_scatter_back_roundtrip():
     np.testing.assert_array_equal(np.asarray(out["a"])[mask == 0], 0.0)
 
 
+@pytest.mark.slow
 def test_pruned_render_matches_full_when_k_covers_mass():
     """With K large enough to cover every sample carrying weight, the
     pruned render must match the full render closely (the dropped samples
@@ -124,6 +125,7 @@ def test_pruned_render_matches_full_when_k_covers_mass():
     assert float((out_k["opacity"] - out_full["opacity"]).max()) <= 1e-5
 
 
+@pytest.mark.slow
 def test_pruned_render_grads_flow_to_tables():
     model, params, prop, prop_params, rays = _make_model_and_rays()
 
@@ -166,6 +168,7 @@ def test_topk_temp_explores():
     assert not np.array_equal(np.asarray(oh_a), np.asarray(oh_b))
 
 
+@pytest.mark.slow
 def test_eval_renderer_sample_topk_close_to_exact():
     """Opt-in eval pruning (render.eval_sample_topk) stays close to the
     exact render when K covers the mass, and never raises opacity."""
@@ -245,6 +248,7 @@ def test_lidar_sample_topk_trains_finitely():
         assert np.isfinite(float(m[name])), name
 
 
+@pytest.mark.slow
 def test_per_ray_outputs_survive_pruning():
     """Per-ray field outputs (rgb_sky) must pass through the scatter-back
     untouched even when K equals their trailing dim (regression: K=3

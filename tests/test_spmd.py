@@ -71,6 +71,7 @@ def _max_rel_diff(a, b):
     return worst
 
 
+@pytest.mark.slow
 def test_zero_matches_replicated_with_fp32_wire(setup):
     """ZeRO (reduce-scatter + sharded Adam + all-gathered direction) is
     numerically the same optimizer as replicated Adam when every wire is
@@ -102,6 +103,7 @@ def test_zero_matches_replicated_with_fp32_wire(setup):
         assert shard.data.shape[0] == leaf.shape[0] // 8
 
 
+@pytest.mark.slow
 def test_bf16_wire_close_to_fp32_wire(setup):
     """bf16 gradient psum (+ bf16 direction all-gather under ZeRO) stays
     within bf16-noise of the fp32-wire path after 2 steps."""
@@ -137,6 +139,7 @@ def test_zero_hlo_contains_reduce_scatter_and_all_gather(setup):
     assert "all-gather" in hlo, "no all-gather in compiled ZeRO step"
 
 
+@pytest.mark.slow
 def test_spmd_default_runs_and_metrics_finite(setup):
     """Default SpmdConfig (bf16 psum, no ZeRO) trains: finite metrics and
     an advancing step counter on the 8-device mesh."""

@@ -239,10 +239,9 @@ def test_fused_topk_quality_parity():
     )
 
 
-def test_staged_lidar_topk_schedule_and_step():
+def test_staged_lidar_topk_schedule():
     """Staged lidar-K (VERDICT r2 #5): lidar_full_at flips at
-    lidar_topk_until * num_iters, and both compiled step variants
-    (pruned / full lidar shading) run and advance the state."""
+    lidar_topk_until * num_iters (pure host logic, no jit)."""
     from emernerf_tpu.train.step import lidar_full_at
 
     cfg = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=True,
@@ -258,6 +257,15 @@ def test_staged_lidar_topk_schedule_and_step():
     assert not lidar_full_at(
         dataclasses_replace(cfg, sample_topk=0, lidar_sample_topk=0), 99)
 
+
+@pytest.mark.slow
+def test_staged_lidar_topk_both_variants_execute():
+    """Both compiled step variants (pruned / full lidar shading) run and
+    advance the state."""
+    cfg = TrainStepConfig(num_samples=8, prop_samples=(16,), has_lidar=True,
+                          sample_topk=4, sample_topk_temp=0.0,
+                          lidar_sample_topk=4, lidar_topk_until=0.9,
+                          num_iters=100, use_sky_loss=False)
     scene_np, scene = _make_scene()
     model, props = _make_models(scene_np)
     key = jax.random.PRNGKey(0)

@@ -239,6 +239,7 @@ def test_convert_one_writes_reference_layout(converted_scene):
     assert (mask > 0).mean() < 0.5
 
 
+@pytest.mark.slow
 def test_converted_scene_trains(converted_scene, tmp_path):
     """The converted fixture drives the real CLI trainer end to end."""
     out, _ = converted_scene
