@@ -25,12 +25,15 @@ fields are skipped on decode.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from types import SimpleNamespace
 from typing import Any, Dict, Iterable, Iterator, List
 
 import numpy as np
+
+from emernerf_tpu import native as _native
 
 # --------------------------------------------------------------------- #
 # Schema: message name -> {field_number: (attr_name, kind, label)}
@@ -165,8 +168,102 @@ def _default_message(name: str) -> SimpleNamespace:
     return out
 
 
-def decode(buf: bytes, msg_name: str) -> SimpleNamespace:
-    """Wire bytes -> attribute namespace with schema defaults filled in."""
+def decode(buf, msg_name: str) -> SimpleNamespace:
+    """Wire bytes -> attribute namespace with schema defaults filled in.
+
+    Repeated scalar fields decode to numpy arrays (f8/f4 for double/float,
+    i8 for varints); every consumer goes through ``np.asarray`` anyway.
+
+    Uses the Python tag walk with numpy packed-array decode: measured
+    1.6 GB/s on a real-shape Frame and 7x faster than the native
+    field-scanner walk (`_decode_native`) on field-dense label messages —
+    per-submessage ctypes/numpy call overhead dominates small nodes, and
+    big nodes are memcpy-bound either way (perf/bench_wire.py).  The
+    native layer instead owns the measured wins: TFRecord framing +
+    masked-CRC verification (>100x, ``read_tfrecords``)."""
+    return _decode_py(bytes(buf), msg_name)
+
+
+_REP_DTYPE = {"double": np.float64, "float": np.float32,
+              "int32": np.int64, "int64": np.int64, "uint32": np.int64,
+              "enum": np.int64}
+
+
+def _finalize_rep(out: SimpleNamespace, msg_name: str) -> SimpleNamespace:
+    """Repeated-scalar staging lists -> one numpy array per field."""
+    for attr, kind, label in SCHEMA[msg_name].values():
+        if label != "rep" or kind.startswith("msg:") or kind in (
+            "bytes", "string"
+        ):
+            continue
+        parts = getattr(out, attr)
+        dt = _REP_DTYPE[kind]
+        if not parts:
+            setattr(out, attr, np.empty(0, dt))
+        else:
+            setattr(
+                out, attr,
+                np.concatenate([np.asarray(p, dt).reshape(-1) for p in parts])
+            )
+    return out
+
+
+def _decode_native(mv, msg_name: str) -> SimpleNamespace:
+    """Schema walk over the native one-level field scan (zero-copy spans).
+
+    NOT the default path — measured slower than `_decode_py` (see
+    ``decode``); kept as a pinned-parity alternative backend exercised by
+    tests/test_native.py (it is the reference consumer of
+    ``native.scan_fields``, which tooling can use for schema-free message
+    inspection)."""
+    fields = SCHEMA[msg_name]
+    out = _default_message(msg_name)
+    fnum, wtyp, off, ln, vals = _native.scan_fields(mv)
+    for k in range(fnum.shape[0]):
+        spec = fields.get(int(fnum[k]))
+        if spec is None:
+            continue
+        attr, kind, label = spec
+        wire = int(wtyp[k])
+        o, l = int(off[k]), int(ln[k])
+        if kind.startswith("msg:"):
+            sub = _decode_native(mv[o:o + l], kind[4:])
+            if label == "rep":
+                getattr(out, attr).append(sub)
+            else:
+                setattr(out, attr, sub)
+        elif kind == "bytes":
+            setattr(out, attr, bytes(mv[o:o + l])) if label == "one" \
+                else getattr(out, attr).append(bytes(mv[o:o + l]))
+        elif kind == "string":
+            s = bytes(mv[o:o + l]).decode()
+            setattr(out, attr, s) if label == "one" \
+                else getattr(out, attr).append(s)
+        elif kind in _FIXED:
+            fmt, size, _ = _FIXED[kind]
+            arr = np.frombuffer(mv[o:o + l],
+                                dtype="<f8" if kind == "double" else "<f4")
+            if label == "rep":
+                getattr(out, attr).append(arr)
+            else:
+                setattr(out, attr, float(arr[0]))
+        elif kind in _VARINT_KINDS:
+            if wire == 2:  # packed
+                raw = _native.decode_varints(mv[o:o + l])
+                v = raw.view(np.int64) if kind in ("int32", "int64") else raw
+                getattr(out, attr).append(v)
+            else:
+                v = _signed(int(vals[k]), kind)
+                if label == "rep":
+                    getattr(out, attr).append(v)
+                else:
+                    setattr(out, attr, v)
+        else:
+            raise ValueError(f"unknown kind {kind}")
+    return _finalize_rep(out, msg_name)
+
+
+def _decode_py(buf: bytes, msg_name: str) -> SimpleNamespace:
     fields = SCHEMA[msg_name]
     out = _default_message(msg_name)
     i = 0
@@ -190,7 +287,7 @@ def decode(buf: bytes, msg_name: str) -> SimpleNamespace:
         attr, kind, label = spec
         if kind.startswith("msg:"):
             ln, i = _read_varint(buf, i)
-            sub = decode(buf[i : i + ln], kind[4:])
+            sub = _decode_py(buf[i : i + ln], kind[4:])
             i += ln
             if label == "rep":
                 getattr(out, attr).append(sub)
@@ -209,12 +306,12 @@ def decode(buf: bytes, msg_name: str) -> SimpleNamespace:
             fmt, size, wt = _FIXED[kind]
             if wire == 2:  # packed
                 ln, i = _read_varint(buf, i)
-                vals = [
-                    struct.unpack_from(fmt, buf, j)[0]
-                    for j in range(i, i + ln, size)
-                ]
+                arr = np.frombuffer(
+                    buf, dtype="<f8" if kind == "double" else "<f4",
+                    count=ln // size, offset=i,
+                )
                 i += ln
-                getattr(out, attr).extend(vals)
+                getattr(out, attr).append(arr)
             else:
                 (v,) = struct.unpack_from(fmt, buf, i)
                 i += size
@@ -237,7 +334,7 @@ def decode(buf: bytes, msg_name: str) -> SimpleNamespace:
                     setattr(out, attr, _signed(v, kind))
         else:
             raise ValueError(f"unknown kind {kind}")
-    return out
+    return _finalize_rep(out, msg_name)
 
 
 def _signed(v: int, kind: str) -> int:
@@ -364,6 +461,8 @@ def _crc32c(data: bytes) -> int:
 
 
 def _masked_crc(data: bytes) -> int:
+    if _native.available():
+        return _native.masked_crc(data)
     crc = _crc32c(data)
     return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
 
@@ -379,6 +478,22 @@ def write_tfrecords(path: str, records: Iterable[bytes]) -> None:
 
 
 def read_tfrecords(path: str) -> Iterator[bytes]:
+    if _native.available():
+        # native fast path: mmap the file, index + CRC-verify every record
+        # in one C++ pass, then yield zero-copy-backed bytes
+        import mmap
+
+        with open(path, "rb") as f:
+            if os.fstat(f.fileno()).st_size == 0:
+                return
+            with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                try:
+                    offsets, lengths = _native.tfrecord_index(mm, verify=2)
+                except ValueError as e:
+                    raise ValueError(f"{e} in {path}") from None
+                for o, ln in zip(offsets.tolist(), lengths.tolist()):
+                    yield mm[o:o + ln]
+        return
     with open(path, "rb") as f:
         while True:
             head = f.read(8)
