@@ -63,6 +63,7 @@ def make_grid_spec(
             time_resolution=int(perf.get("mx_time_resolution", 64)),
             chunk=int(perf.get("mx_chunk", 8192)),
             max_line_resolution=int(perf.get("mx_max_line_resolution", 4096)),
+            line_block=int(perf.get("mx_line_block", 128)),
         )
     if backend == "brick":
         # F=1 grids (proposal nets) use 4^3-cell bricks: the 125-corner row

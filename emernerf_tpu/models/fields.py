@@ -39,6 +39,26 @@ from emernerf_tpu.ops.sh import sh_encode
 from emernerf_tpu.ops.sinusoidal import sinusoidal_encode, sinusoidal_output_dim
 
 
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _lane_split_matrices(lvls: int, df: int, ff: int):
+    """0/1 selection matrices ((lvls*(df+ff), lvls*df), (..., lvls*ff))
+    that de-interleave per-level (dyn | flow) lanes as matmuls."""
+    k = df + ff
+    sd = np.zeros((lvls * k, lvls * df), np.float32)
+    sf = np.zeros((lvls * k, lvls * ff), np.float32)
+    for l in range(lvls):
+        for j in range(df):
+            sd[l * k + j, l * df + j] = 1.0
+        for j in range(ff):
+            sf[l * k + df + j, l * ff + j] = 1.0
+    return sd, sf
+
+
 def find_topk_nearby_timesteps(training_timesteps, query, topk: int = 2):
     """Per-query nearest training timesteps (reference nerf_utils.py:31-56).
 
@@ -334,10 +354,13 @@ class RadianceField(nn.Module):
         df = self.dynamic_spec.n_features_per_level
         ff = self.flow_spec.n_features_per_level
         lvls = self.dynflow_spec.n_levels
-        lead = enc.shape[:-1]
-        e = enc.reshape(*lead, lvls, df + ff)
-        dyn = e[..., :df].reshape(*lead, lvls * df)
-        flw = e[..., df:].reshape(*lead, lvls * ff)
+        # split the interleaved (level, dyn|flow) lanes with constant 0/1
+        # selection matmuls: the equivalent reshape to (..., lvls, df+ff)
+        # pads its tiny minor dims 8x on TPU (a 320 MB HLO temp at the
+        # flagship batch) while an MXU contraction stays lane-major
+        sd, sf = _lane_split_matrices(lvls, df, ff)
+        dyn = enc @ jnp.asarray(sd)
+        flw = enc @ jnp.asarray(sf)
         return dyn, flw
 
     def forward_dynamic_hash(self, normed_positions, normed_timestamps,

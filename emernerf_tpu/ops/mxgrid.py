@@ -9,39 +9,55 @@ duplicate structure (perf/microbench.py, PERF_NOTES).  The representation
   already lowers to one-hot MXU contractions (ops/brickgrid.py one-hot
   path) — the sub-spec is auto-sized so EVERY brick level fits the
   one-hot budget, i.e. no level ever scatters;
-* fine levels: CP-factorized lines (TensoRF-style).  Per scale ``s`` and
-  input axis ``a`` a line table ``T_sa`` of shape ``(res_s, R*F)``; the
-  axis feature is ``W(c) @ T_sa`` where ``W(c)[n, j] =
-  relu(1 - |c_n*(res-1) - j|)`` is the linear-interpolation tent weight
-  built by an iota compare — a pure elementwise producer that fuses into
-  the dot operand.  The scale's feature is the rank-sum of the axes'
-  elementwise product: ``feat_s[f] = sum_r prod_a U_sa[r, f]``.  Both the
-  forward and the autodiff backward (``W^T @ g`` for the table cotangent)
-  are dense MXU matmuls; position gradients flow through the tent weights.
+* fine levels: CP-factorized lines (TensoRF-style), with each line
+  block-decomposed into a CLAMPED coarse line of ``line_block`` entries
+  plus a PERIODIC line of ``line_block`` entries repeated
+  ``res / line_block`` times (a learned carrier, the generalization of
+  the sinusoidal PE the original NeRF uses for exactly these
+  frequencies).  Both parts are evaluated as tent-weight matmuls
+  ``W(c) @ T`` where ``W(c)[n, j] = relu(1 - dist(c_n, j))`` is built
+  from a broadcasted iota — so the autodiff backward (``W^T @ g`` for
+  the table cotangent) is a dense MXU matmul and the compiled program
+  contains NO scatter.  Because every scale shares the same block
+  geometry, all scales of an axis evaluate as ONE batched dot_general
+  of shape ``(2*S, chunk, block) @ (2*S, block, R*F)``.
 
-FLOPs instead of scatters: one axis-scale costs ``2*N*res_s*R*F`` MACs —
-at the training workload (N~2.6M, res<=4096, R*F=64) a few ms on the MXU
-per scale, vs hundreds of ms of scatter for the equivalent hash levels.
+The axis feature is ``coarse(c) + periodic(c)``; a scale's feature is the
+rank contraction of the axes' elementwise product
+(``feat[f] = sum_r prod_a u_a[r, f]``), realized as a matmul with a
+constant 0/1 rank-sum matrix (NOT an (n, R, F) reshape, whose tiny minor
+dims cost an 8x lane-padding blowup on TPU).
+
+Memory discipline: the encode runs as a ``lax.map`` over point chunks
+with ``jax.checkpoint`` per chunk — residuals are the chunk coordinates
+only, so peak HBM is one chunk's tent transients (vs 16.6 GB live for
+the naive per-scale formulation at the flagship workload).
+
+FLOPs instead of scatters: an axis costs ``2 * N * 2S * block * R*F``
+MACs per chunk sweep — ~4 TFLOP/step at the flagship workload, a few
+tens of ms on the MXU, vs ~470 ms/step of scatter-add for the brick
+formulation it replaces.
 
 The reference counterpart is the tcnn fused hash encoder
 (/root/reference/third_party/tcnn_modules.py:115-263); this module matches
 its ROLE (multiresolution positional features, L*F outputs) with a
 representation chosen for the TPU's compute model instead of a CUDA
-atomics port.  Capacity differs (rank-R low-rank vs hashed collisions):
-quality parity is gated by the same flagship A/B machinery as every other
-TPU divergence (perf/quality_ab.py `mx*` variants).
+atomics port.  Capacity differs (rank-R low-rank + periodic carriers vs
+hashed collisions): quality parity is gated by the same flagship A/B
+machinery as every other TPU divergence (perf/quality_ab.py `mx*`
+variants).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from emernerf_tpu.ops.brickgrid import (
     BrickGridSpec,
@@ -57,7 +73,8 @@ _ONEHOT_BUDGET = 1 << 19
 
 @dataclasses.dataclass(frozen=True)
 class MXGridSpec:
-    """Hybrid dense-brick + CP-line encoder, one flat parameter vector.
+    """Hybrid dense-brick + blocked-CP-line encoder, one flat parameter
+    vector.
 
     The level hierarchy mirrors an L-level hash grid (same growth factor
     between ``base_resolution`` and ``max_resolution``); the first
@@ -73,14 +90,18 @@ class MXGridSpec:
     max_resolution: int
     n_features_per_level: int
     rank: int = 16
-    # 4D grids: resolution of the time axis lines
+    # 4D grids: nominal resolution of the time axis lines
     time_resolution: int = 64
-    # points per matmul chunk (transient is chunk x max line res)
+    # points per matmul chunk (tent transient is 2S x chunk x line_block)
     chunk: int = 8192
     # factor init std; a CP feature is a product of `spatial_dims` factors
     init_scale: float = 0.2
-    # line tables longer than this are clamped (tent-matmul cost ~ res)
+    # nominal line resolutions above this are clamped (caps the periodic
+    # carrier frequency)
     max_line_resolution: int = 4096
+    # entries per line block: every line = clamped coarse block + periodic
+    # block at res/line_block periods
+    line_block: int = 128
 
     # ---- hierarchy geometry (matches brickgrid's level ladder) ----
     @property
@@ -183,18 +204,27 @@ class MXGridSpec:
     def axes_per_scale(self) -> int:
         return self.spatial_dims + (1 if self.has_time else 0)
 
+    def axis_freqs(self, axis: int) -> np.ndarray:
+        """Periods of the periodic block per scale for one input axis
+        (>= 1; a 1-period circular line is just extra coarse capacity)."""
+        if self.has_time and axis == self.spatial_dims:
+            res = np.full(self.n_scales, self.time_resolution, np.float64)
+        else:
+            res = self.factored_resolutions.astype(np.float64)
+        return np.maximum(res / float(self.line_block), 1.0)
+
+    @property
+    def _axis_part(self) -> int:
+        """Flat element count of ONE axis's line stack (coarse + periodic
+        blocks for every factored scale)."""
+        return 2 * self.n_scales * self.line_block * self.factor_width
+
     @property
     def _part_sizes(self) -> Tuple[int, ...]:
-        """Flat element counts: [brick, (scale0 ax0), (scale0 ax1), ...]."""
+        """Flat element counts: [brick, axis0 lines, axis1 lines, ...]."""
         bspec = self.brick_spec
         sizes = [int(np.prod(bspec.table_shape)) if bspec else 0]
-        w = self.factor_width
-        for res in self.factored_resolutions:
-            for a in range(self.axes_per_scale):
-                r = self.time_resolution if (
-                    self.has_time and a == self.spatial_dims
-                ) else int(res)
-                sizes.append(r * w)
+        sizes.extend([self._axis_part] * self.axes_per_scale)
         return tuple(sizes)
 
     @property
@@ -239,40 +269,38 @@ def init_mxgrid_table(key, spec: MXGridSpec, dtype=jnp.float32, scale=1e-4):
     return jnp.pad(flat, (0, pad))
 
 
-def _tent_matmul(tbl, coords, res: int, chunk: int):
-    """(N,) coords in [0,1] x (res, W) table -> (N, W) linearly
-    interpolated rows, as chunked dense matmuls.
+def _rank_sum_matrix(spec: MXGridSpec) -> np.ndarray:
+    """(R*F, F) 0/1 matrix: lane (r*F + f) -> output f.  Contracting the
+    rank axis as a matmul keeps the point axis on full 128-lane tiles;
+    the equivalent (n, R, F) reshape+sum pads its tiny minor dims 8x."""
+    r, f = spec.rank, spec.n_features_per_level
+    s = np.zeros((r * f, f), np.float32)
+    s[np.arange(r * f), np.tile(np.arange(f), r)] = 1.0
+    return s
 
-    The tent weight matrix W[n, j] = relu(1 - |c_n*(res-1) - j|) has the
-    two linear-interp weights on the bracketing integer lanes and zeros
-    elsewhere; built from a broadcasted iota it is a pure elementwise
-    producer.  jax.checkpoint keeps it out of the residuals — the
-    backward rebuilds it per chunk and emits W^T @ g (a matmul) as the
-    table cotangent.  Differentiable in ``coords`` through the tent."""
-    n = coords.shape[0]
-    w = tbl.shape[-1]
-    nchunks = -(-n // chunk)
-    pad = nchunks * chunk - n
-    c = jnp.pad(coords, (0, pad)).reshape(nchunks, chunk)
 
-    @jax.checkpoint
-    def one(c_chunk, tbl):
-        u = c_chunk.astype(jnp.float32) * (res - 1)
-        j = jax.lax.broadcasted_iota(jnp.float32, (chunk, res), 1)
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - j))
-        return jax.lax.dot_general(
-            wgt.astype(tbl.dtype), tbl,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if nchunks == 1:
-        out = one(c[0], tbl)
-    else:
-        out = jax.lax.map(lambda cc: one(cc, tbl), c).reshape(
-            nchunks * chunk, w
-        )
-    return out[:n]
+def _axis_tent(coords, freqs: np.ndarray, block: int):
+    """(chunk,) coords in [0,1] -> (2S, chunk, block) tent-weight stack:
+    rows [0:S] the shared clamped coarse tent (broadcast — its extra dot
+    FLOPs are inherent, and the broadcast costs fewer bytes than the
+    relayout a separate unbatched coarse dot would need), rows [S:2S]
+    the per-scale periodic (circular) tents at ``freqs`` periods.  Pure
+    elementwise math over a broadcasted iota — no gather, no scatter."""
+    s = len(freqs)
+    chunk = coords.shape[0]
+    c = coords.astype(jnp.float32)
+    j = lax.broadcasted_iota(jnp.float32, (chunk, block), 1)
+    # clamped coarse tent, resolution `block` (same for every scale)
+    uc = c[:, None] * (block - 1)
+    tent_c = jnp.maximum(0.0, 1.0 - jnp.abs(uc - j))
+    tent_c = jnp.broadcast_to(tent_c[None], (s, chunk, block))
+    # periodic tents: u in [0, block) at freq periods, circular distance
+    fr = jnp.asarray(freqs, jnp.float32)[:, None, None]
+    up = (c[None, :, None] * fr) % 1.0 * block
+    d = jnp.abs(up - j[None])
+    d = jnp.minimum(d, block - d)
+    tent_p = jnp.maximum(0.0, 1.0 - d)
+    return jnp.concatenate([tent_c, tent_p], axis=0)
 
 
 def mxgrid_encode(
@@ -296,34 +324,68 @@ def mxgrid_encode(
     # coarse dense levels
     outs = []
     if spec.brick_spec is not None:
-        brick_tbl = jax.lax.slice_in_dim(table, 0, sizes[0]).reshape(
+        brick_tbl = lax.slice_in_dim(table, 0, sizes[0]).reshape(
             spec.brick_spec.table_shape
         )
         outs.append(
             brickgrid_encode(brick_tbl, x, spec.brick_spec, needs_pos_grad)
         )
 
-    # factored scales
-    w = spec.factor_width
-    off = sizes[0]
-    part = 1
-    for s, res in enumerate(spec.factored_resolutions):
-        prod = None
-        for a in range(spec.axes_per_scale):
-            is_time = spec.has_time and a == spec.spatial_dims
-            r = spec.time_resolution if is_time else int(res)
-            tbl = jax.lax.slice_in_dim(
-                table, off, off + sizes[part]
-            ).reshape(r, w)
-            off += sizes[part]
-            part += 1
-            coords = x[:, a]
-            if not needs_pos_grad:
-                coords = jax.lax.stop_gradient(coords)
-            u = _tent_matmul(tbl, coords, r, spec.chunk)  # (N, R*F)
-            prod = u if prod is None else prod * u
-        feat = prod.reshape(n, spec.rank, f).sum(axis=1)  # rank contraction
-        outs.append(feat)
+    if spec.n_scales:
+        w = spec.factor_width
+        blk = spec.line_block
+        ns = spec.n_scales
+        naxes = spec.axes_per_scale
+        # per-axis line stacks: (2S, block, W) — [0:S] coarse, [S:2S]
+        # periodic, matching the tent stack order
+        axis_tbls = []
+        off = sizes[0]
+        for a in range(naxes):
+            axis_tbls.append(
+                lax.slice_in_dim(table, off, off + sizes[1 + a]).reshape(
+                    2 * ns, blk, w
+                )
+            )
+            off += sizes[1 + a]
+        freqs = [spec.axis_freqs(a) for a in range(naxes)]
+        rs = jnp.asarray(_rank_sum_matrix(spec))
+
+        chunk = min(spec.chunk, max(n, 1))
+        nchunks = -(-n // chunk)
+        xp = jnp.pad(x, ((0, nchunks * chunk - n), (0, 0))).reshape(
+            nchunks, chunk, d
+        )
+        if not needs_pos_grad:
+            xp = lax.stop_gradient(xp)
+
+        def one_chunk(c):
+            """(chunk, d) -> (chunk, n_scales * F).  Residuals under
+            checkpoint: c (and the table slices) only — tent transients
+            are rebuilt in the backward, bounding peak HBM to one
+            chunk's working set."""
+            prod = None
+            for a in range(naxes):
+                tbl = axis_tbls[a]
+                tent = _axis_tent(c[:, a], freqs[a], blk)
+                u2 = lax.dot_general(
+                    tent.astype(tbl.dtype),
+                    tbl,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (2S, chunk, W)
+                u = u2[:ns] + u2[ns:]  # coarse + periodic, (S, chunk, W)
+                prod = u if prod is None else prod * u
+            feat = lax.dot_general(
+                prod, rs, (((2,), (0,)), ((), ()))
+            )  # (S, chunk, F)
+            return feat.transpose(1, 0, 2).reshape(chunk, ns * f)
+
+        body = jax.checkpoint(one_chunk)
+        if nchunks == 1:
+            fac = body(xp[0])
+        else:
+            fac = lax.map(body, xp).reshape(nchunks * chunk, ns * f)
+        outs.append(fac[:n])
 
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(*batch_shape, spec.n_output_dims)
@@ -341,23 +403,38 @@ def mxgrid_encode_ref(table, positions, spec: MXGridSpec):
     if spec.brick_spec is not None:
         brick_tbl = table[: sizes[0]].reshape(spec.brick_spec.table_shape)
         outs.append(brickgrid_encode(brick_tbl, x, spec.brick_spec, True))
-    w = spec.factor_width
-    off = sizes[0]
-    part = 1
-    for s, res in enumerate(spec.factored_resolutions):
-        prod = None
-        for a in range(spec.axes_per_scale):
-            is_time = spec.has_time and a == spec.spatial_dims
-            r = spec.time_resolution if is_time else int(res)
-            tbl = table[off: off + sizes[part]].reshape(r, w)
-            off += sizes[part]
-            part += 1
-            u = x[:, a].astype(jnp.float32) * (r - 1)
-            i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, r - 1)
-            i1 = jnp.clip(i0 + 1, 0, r - 1)
+    if spec.n_scales:
+        w = spec.factor_width
+        blk = spec.line_block
+        ns = spec.n_scales
+        off = sizes[0]
+
+        def lerp_clamped(tbl, c):
+            # tbl (blk, w), c (n,) -> (n, w)
+            u = c.astype(jnp.float32) * (blk - 1)
+            i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, blk - 1)
+            i1 = jnp.clip(i0 + 1, 0, blk - 1)
             fr = (u - i0.astype(jnp.float32))[:, None]
-            row = tbl[i0] * (1 - fr) + tbl[i1] * fr
-            prod = row if prod is None else prod * row
-        outs.append(prod.reshape(n, spec.rank, f).sum(axis=1))
+            return tbl[i0] * (1 - fr) + tbl[i1] * fr
+
+        def lerp_periodic(tbl, c, freq):
+            u = (c.astype(jnp.float32) * freq) % 1.0 * blk
+            i0 = jnp.floor(u).astype(jnp.int32) % blk
+            i1 = (i0 + 1) % blk
+            fr = (u - jnp.floor(u))[:, None]
+            return tbl[i0] * (1 - fr) + tbl[i1] * fr
+
+        prods = [None] * ns
+        for a in range(spec.axes_per_scale):
+            stack = table[off: off + sizes[1 + a]].reshape(2 * ns, blk, w)
+            off += sizes[1 + a]
+            freqs = spec.axis_freqs(a)
+            for s in range(ns):
+                u = lerp_clamped(stack[s], x[:, a]) + lerp_periodic(
+                    stack[ns + s], x[:, a], float(freqs[s])
+                )
+                prods[s] = u if prods[s] is None else prods[s] * u
+        for s in range(ns):
+            outs.append(prods[s].reshape(n, spec.rank, f).sum(axis=1))
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(*batch_shape, spec.n_output_dims)
