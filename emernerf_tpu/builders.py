@@ -79,8 +79,12 @@ def make_grid_spec(
             n_features_per_level=n_features_per_level,
             log2_brick_size=bs,
             # 4D rows store both time corners: ONE gather per (point, level)
-            # instead of two — gathers are row-rate-bound on TPU
-            time_pair=n_input_dims == 4,
+            # instead of two — gathers are row-rate-bound on TPU.  The
+            # reference-semantics profile turns this off via
+            # nerf.model.perf.time_pair=false (unpaired rows, two gathers —
+            # the reference's tcnn table layout has no pairing either,
+            # encodings.py:130-146).
+            time_pair=n_input_dims == 4 and bool(perf.get("time_pair", True)),
             scatter_mode=perf.get("scatter_mode", "wide"),
             reduce_mode=perf.get("reduce_mode", "unroll"),
             posgrad_mode=perf.get("posgrad_mode", "fwd"),

@@ -69,14 +69,14 @@ def build_flagship(tiny: bool = False, overrides=()):
     step_cfg = build_train_step_config(cfg, dataset)
     # tiny mode keeps the flow branch but shrinks its (hardcoded) spec
     if tiny and model.flow_spec is not None:
-        from emernerf_tpu.builders import make_grid_spec
+        from emernerf_tpu.builders import _perf_cfg, make_grid_spec
 
         backend = cfg.nerf.model.get("grid_backend", "brick")
         model = model.clone(
             flow_spec=make_grid_spec(
                 backend, n_input_dims=4, n_levels=4, base_resolution=8,
                 max_resolution=64, log2_hashmap_size=10,
-                n_features_per_level=2,
+                n_features_per_level=2, perf=_perf_cfg(cfg),
             )
         )
     return cfg, dataset, model, prop_models, step_cfg

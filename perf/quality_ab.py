@@ -108,10 +108,22 @@ VARIANTS = {
     "brick4k": ["data.ray_batch_size=4096"],
     "hash4k": ["data.ray_batch_size=4096",
                "nerf.model.grid_backend=hash"],
+    # the joint pruning/fusion reference-semantics stack at 1/4 ray batch,
+    # matched against the recorded `brick4k` pair: completes the joint-stack
+    # measurement (VERDICT r2 #3) at a scale where 1000+ steps fit in the
+    # chip budget.  Combined with the matched hash4k/brick4k backend pair,
+    # every default-on divergence is covered by a matched-iteration A/B:
+    # joint(prune+fuse+timepair) here, backend there.  +timepair0 applied
+    # via spec rebuild (_TIMEPAIR0).
+    "refsembrick4k": ["data.ray_batch_size=4096",
+                      "nerf.model.head.temporal_agg_topk=0",
+                      "nerf.sampling.sample_topk=0",
+                      "nerf.sampling.lidar_sample_topk=0",
+                      "nerf.model.fuse_flow_grid=false"],
 }
 
 # variants whose spec rebuild turns off the 4D time-paired rows
-_TIMEPAIR0 = {"timepair0", "refsembrick"}
+_TIMEPAIR0 = {"timepair0", "refsembrick", "refsembrick4k"}
 
 # Variants recorded at or after round 3 run on the pruning-on defaults
 # (sample_topk=32, lidar_sample_topk=16 — commit bb10e44); their base

@@ -17,10 +17,10 @@ import sys
 # recorded on pruning-on defaults -> base is the stopk32l16 curve
 R3_VARIANTS = {"hash", "refsem", "refsembrick", "stagedl16", "nofuse",
                "timepair0", "onehot0", "lprop6432", "prop6432",
-               "mx", "mxr8", "mxr32", "brick4k", "hash4k"}
+               "mx", "mxr8", "mxr32", "brick4k", "hash4k", "refsembrick4k"}
 
 # matched pairs measured against each other, not the default curve
-BASE_OVERRIDE = {"hash4k": "brick4k"}
+BASE_OVERRIDE = {"hash4k": "brick4k", "refsembrick4k": "brick4k"}
 
 
 def _ms(v):

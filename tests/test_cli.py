@@ -110,3 +110,41 @@ def test_cli_rejects_indivisible_dp_batch(tmp_path):
 
     with pytest.raises(ValueError, match="must divide"):
         main(args)
+
+
+def test_reference_semantics_profile_merges():
+    """configs/reference_semantics.yaml turns off every default-on TPU
+    divergence (VERDICT r2 #3: named reference/fast profiles)."""
+    from emernerf_tpu.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(root, "configs", "default_config.yaml"),
+        os.path.join(root, "configs", "reference_semantics.yaml"),
+        [],
+    )
+    assert cfg.nerf.sampling.sample_topk == 0
+    assert cfg.nerf.sampling.lidar_sample_topk == 0
+    assert cfg.nerf.model.head.temporal_agg_topk == 0
+    assert not cfg.nerf.model.fuse_flow_grid
+    assert not cfg.nerf.model.perf.time_pair
+    # defaults unchanged: pruning stays ON without the profile
+    base = load_config(
+        os.path.join(root, "configs", "default_config.yaml"), None, []
+    )
+    assert base.nerf.sampling.sample_topk == 32
+    assert base.nerf.model.perf.get("time_pair", True)
+
+
+def test_time_pair_knob_reaches_specs():
+    """nerf.model.perf.time_pair=false must unpair BOTH 4D grids (dynamic
+    and the hardcoded flow spec), in tiny mode too (flagship.py rebuild)."""
+    from emernerf_tpu.flagship import build_flagship
+
+    _, _, model, _, _ = build_flagship(
+        tiny=True, overrides=["nerf.model.perf.time_pair=false"]
+    )
+    assert model.dynamic_spec is not None and not model.dynamic_spec.time_pair
+    assert model.flow_spec is not None and not model.flow_spec.time_pair
+    _, _, m2, _, _ = build_flagship(tiny=True)
+    assert m2.dynamic_spec.time_pair and m2.flow_spec.time_pair
