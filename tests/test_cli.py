@@ -76,9 +76,14 @@ def test_cli_dotlist_overrides(tmp_path):
     assert (tmp_path / "p2" / "r2" / "config.yaml").exists()
 
 
+@pytest.mark.slow
 def test_cli_train_data_parallel(tmp_path):
     """The parallel.num_devices config drives the whole CLI path on the
-    8-device virtual mesh: sharded train steps + sharded eval chunks."""
+    8-device virtual mesh: sharded train steps + sharded eval chunks.
+
+    Slow tier (44 s — the single heaviest default-tier test): the sharded
+    step/eval math stays default-covered by tests/test_parallel.py and the
+    driver's dryrun_multichip; this adds only the CLI plumbing on top."""
     from train_emernerf import get_args_parser, main
 
     args = get_args_parser().parse_args(
