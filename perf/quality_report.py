@@ -22,6 +22,11 @@ R3_VARIANTS = {"hash", "refsem", "refsembrick", "stagedl16", "nofuse",
 # matched pairs measured against each other, not the default curve
 BASE_OVERRIDE = {"hash4k": "brick4k", "refsembrick4k": "brick4k"}
 
+# anchors of matched pairs: not variants themselves — comparing a 1/4-batch
+# run against the full-batch default curve would be a cross-batch apples
+# comparison, so these only appear as the `base` of their pair rows
+PAIR_BASES = {"brick4k"}
+
 
 def _ms(v):
     """Steady-state step time if recorded; legacy ms_per_step otherwise.
@@ -40,7 +45,7 @@ def main():
           f"{'rmse':>7}{'ms/step':>9}{'speed x':>8}")
     rows = {}
     for name, v in d.items():
-        if not v["curve"]:
+        if not v["curve"] or name in PAIR_BASES:
             continue
         base_name = BASE_OVERRIDE.get(
             name, "stopk32l16" if name in R3_VARIANTS else "base"
