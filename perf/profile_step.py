@@ -90,20 +90,37 @@ def summarize(prof_dir: str):
     i_cat = idx["category"]
     i_name = idx["hlo_op_name"]
     i_self = idx.get("total_self_time", idx.get("total_self_time_us"))
-    cats, ops = {}, []
+    i_src = idx.get("source_info")
+    i_bound = idx.get("bound_by")
+    cats, ops, srcs, bounds = {}, [], {}, {}
     for row in tbl.get("rows", []):
         c = row["c"]
 
         def v(i):
-            return c[i]["v"] if c[i] else None
+            return c[i]["v"] if (i is not None and c[i]) else None
 
         cat = v(i_cat) or "?"
         name = v(i_name) or "?"
         t = float(v(i_self) or 0.0)
         cats[cat] = cats.get(cat, 0.0) + t
         ops.append((name, cat, t))
+        # source_info arrives as an HTML cell; strip to the path:line core
+        src = v(i_src) or "?"
+        if ">" in src:
+            src = src.split(">", 1)[1].split("<", 1)[0] or "?"
+        srcs[(cat, src)] = srcs.get((cat, src), 0.0) + t
+        b = v(i_bound) or "?"
+        bounds[(cat, b)] = bounds.get((cat, b), 0.0) + t
     ops.sort(key=lambda x: -x[2])
-    return cats, ops[:25]
+    top_srcs = [
+        {"category": c, "source": s, "self_us": round(t, 1)}
+        for (c, s), t in sorted(srcs.items(), key=lambda kv: -kv[1])[:20]
+    ]
+    bound_by = [
+        {"category": c, "bound_by": b, "self_us": round(t, 1)}
+        for (c, b), t in sorted(bounds.items(), key=lambda kv: -kv[1])[:12]
+    ]
+    return cats, ops[:25], top_srcs, bound_by
 
 
 def main():
@@ -137,7 +154,7 @@ def main():
     print(f"traced {steps} steps, {wall*1e3:.1f} ms/step, psnr {psnr:.2f}",
           file=sys.stderr)
 
-    cats, top = summarize(prof_dir)
+    cats, top, top_srcs, bound_by = summarize(prof_dir)
     total = sum(cats.values()) or 1.0
     out = {
         "tag": tag,
@@ -156,6 +173,11 @@ def main():
             {"name": n, "category": c, "self_us": round(t, 1)}
             for n, c, t in top
         ],
+        # (category, python source line) hot spots + engine attribution:
+        # bound_by distinguishes the VMEM-write-serialized scatters from
+        # HBM-bound gathers/reduces (the two distinct walls)
+        "top_sources": top_srcs,
+        "bound_by": bound_by,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"PROFILE_{tag}.json")
