@@ -119,8 +119,21 @@ def load_config(
     """Three-way merge: defaults <- config_file <- CLI dotlist
     (mirrors /root/reference/train_emernerf.py:125-127)."""
     cfg = load_yaml(default_path)
+    user = ConfigNode()
     if config_file:
-        cfg.merge_(load_yaml(config_file))
+        user.merge_(load_yaml(config_file))
     if dotlist:
-        cfg.merge_(from_dotlist(dotlist))
+        user.merge_(from_dotlist(dotlist))
+    cfg.merge_(user)
+    # Default-interaction normalization (ADVICE r3 #2): staged lidar-K
+    # (nerf.sampling.lidar_topk_until, default 0.9 since round 3) is
+    # meaningless under optim.fused_lidar_branch — one combined render has
+    # one sample_topk.  A user opting into the fused branch on an otherwise
+    # default config must not hit build_train_step's hard conflict error for
+    # a knob they never touched, so the DEFAULT value yields to the fused
+    # branch here; an EXPLICIT user setting of both still errors (step.py).
+    if cfg.get_dotted("optim.fused_lidar_branch", False) and (
+        user.get_dotted("nerf.sampling.lidar_topk_until", None) is None
+    ):
+        cfg.set_dotted("nerf.sampling.lidar_topk_until", 1.0)
     return cfg

@@ -359,8 +359,11 @@ class RadianceField(nn.Module):
         # pads its tiny minor dims 8x on TPU (a 320 MB HLO temp at the
         # flagship batch) while an MXU contraction stays lane-major
         sd, sf = _lane_split_matrices(lvls, df, ff)
-        dyn = enc @ jnp.asarray(sd)
-        flw = enc @ jnp.asarray(sf)
+        # cast the 0/1 selection matrices to enc's dtype so the split
+        # preserves the encoding dtype (ADVICE r3 #4: fp32 constants would
+        # silently promote a bf16 encoding path)
+        dyn = enc @ jnp.asarray(sd, enc.dtype)
+        flw = enc @ jnp.asarray(sf, enc.dtype)
         return dyn, flw
 
     def forward_dynamic_hash(self, normed_positions, normed_timestamps,

@@ -88,14 +88,18 @@ int64_t en_tfrecord_index(const uint8_t* buf, uint64_t n, uint64_t* offsets,
   uint64_t i = 0;
   int64_t count = 0;
   while (i < n) {
-    if (i + 12 > n) return -1;
+    // All bounds checks are subtraction-style: a corrupt/crafted record
+    // length near 2^64 must not wrap an addition and pass the check
+    // (i <= n is a loop invariant, so n - i never underflows).
+    if (n - i < 12) return -1;
     uint64_t len;
     std::memcpy(&len, buf + i, 8);  // little-endian host assumed (x86/ARM)
     uint32_t len_crc;
     std::memcpy(&len_crc, buf + i + 8, 4);
     if (verify >= 1 && masked_crc(buf + i, 8) != len_crc) return -2;
     uint64_t payload = i + 12;
-    if (payload + len + 4 > n) return -1;
+    uint64_t avail = n - payload;  // bytes after the header
+    if (avail < 4 || len > avail - 4) return -1;
     if (verify >= 2) {
       uint32_t data_crc;
       std::memcpy(&data_crc, buf + payload + len, 4);
@@ -158,7 +162,7 @@ int64_t en_scan_fields(const uint8_t* buf, uint64_t n, uint32_t* field_num,
         break;
       }
       case 1: {
-        if (i + 8 > n) return -1;
+        if (n - i < 8) return -1;
         l = 8;
         i += 8;
         break;
@@ -166,14 +170,16 @@ int64_t en_scan_fields(const uint8_t* buf, uint64_t n, uint32_t* field_num,
       case 2: {
         uint64_t ln;
         if (!read_varint(buf, n, &i, &ln)) return -1;
-        if (i + ln > n) return -1;
+        // subtraction-style: ln near 2^64 must not wrap (i <= n holds
+        // after read_varint)
+        if (ln > n - i) return -1;
         o = i;
         l = ln;
         i += ln;
         break;
       }
       case 5: {
-        if (i + 4 > n) return -1;
+        if (n - i < 4) return -1;
         l = 4;
         i += 4;
         break;

@@ -182,6 +182,28 @@ def test_tfrecord_index_detects_corruption(tmp_path):
         native.tfrecord_index(bytes(raw[:-2]), verify=0)
 
 
+def test_tfrecord_index_huge_length_no_overflow():
+    """A corrupt record length near 2^64 must fail cleanly, not wrap the
+    bounds-check addition and read out of bounds (ADVICE r3 #1).  Exercises
+    every verify level: the unverified path walks the cursor, verify=2
+    would CRC `len` bytes of the payload."""
+    hdr = struct.pack("<Q", (1 << 64) - 8)  # len such that payload+len+4 wraps
+    len_crc = ww._masked_crc(hdr)
+    rec = hdr + struct.pack("<I", len_crc) + b"payload!" + bytes(4)
+    for verify in (0, 1, 2):
+        with pytest.raises(ValueError, match="truncated"):
+            native.tfrecord_index(rec, verify=verify)
+
+
+def test_scan_fields_huge_length_no_overflow():
+    """Length-delimited field whose declared length wraps i + ln (ADVICE
+    r3 #1, en_scan_fields sibling)."""
+    # field 1, wire 2, varint length 2^64-1
+    buf = b"\x0a" + b"\xff" * 9 + b"\x01" + b"x"
+    with pytest.raises(ValueError):
+        native.scan_fields(buf)
+
+
 def test_fallback_decode_is_default_compatible(tmp_path):
     """waymo_wire.decode dispatches by availability; both implementations
     produce the same tree for the fixture encoder's output."""

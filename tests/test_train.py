@@ -297,6 +297,26 @@ def test_staged_lidar_topk_rejected_with_fused_branches():
         build_train_step(model, props, cfg2)
 
 
+def test_fused_branch_on_default_config_normalizes_staged_k():
+    """ADVICE r3 #2: optim.fused_lidar_branch=true on an otherwise-default
+    config must NOT hard-error on the (default-on since r3) staged lidar-K
+    knob the user never touched — load_config normalizes the DEFAULT
+    lidar_topk_until to 1.0; an explicit user setting of both still
+    conflicts at build_train_step."""
+    import os as _os
+
+    from emernerf_tpu.config import load_config
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    default = _os.path.join(root, "configs", "default_config.yaml")
+    assert load_config(default).nerf.sampling.lidar_topk_until == 0.9
+    cfg = load_config(default, dotlist=["optim.fused_lidar_branch=true"])
+    assert cfg.nerf.sampling.lidar_topk_until == 1.0
+    cfg = load_config(default, dotlist=["optim.fused_lidar_branch=true",
+                                        "nerf.sampling.lidar_topk_until=0.8"])
+    assert cfg.nerf.sampling.lidar_topk_until == 0.8  # explicit: kept
+
+
 def test_lidar_prop_samples_config_roundtrip():
     """configs nerf.propnet.lidar_num_samples_per_prop reaches
     TrainStepConfig.lidar_prop_samples (None when unset — the default)."""
