@@ -66,11 +66,17 @@ SCHEMA: Dict[str, Dict[int, tuple]] = {
         2: ("camera_calibrations", "msg:CameraCalibration", "rep"),
         3: ("laser_calibrations", "msg:LaserCalibration", "rep"),
     },
+    # Public dataset.proto numbering: field 1 is the DEPRECATED
+    # uncompressed `MatrixFloat range_image` (absent in modern segments);
+    # the zlib-compressed fields occupy 2..5.  (Round-4 conformance fix:
+    # these were previously transcribed 1..4 — an off-by-one that only a
+    # fixture NOT built by this module's own encoder could catch.)
     "RangeImage": {
-        1: ("range_image_compressed", "bytes", "one"),
-        2: ("camera_projection_compressed", "bytes", "one"),
-        3: ("range_image_pose_compressed", "bytes", "one"),
-        4: ("range_image_flow_compressed", "bytes", "one"),
+        1: ("range_image", "msg:MatrixFloat", "one"),  # deprecated
+        2: ("range_image_compressed", "bytes", "one"),
+        3: ("camera_projection_compressed", "bytes", "one"),
+        4: ("range_image_pose_compressed", "bytes", "one"),
+        5: ("range_image_flow_compressed", "bytes", "one"),
     },
     "CameraImage": {
         1: ("name", "enum", "one"),
@@ -87,12 +93,16 @@ SCHEMA: Dict[str, Dict[int, tuple]] = {
         3: ("ri_return2", "msg:RangeImage", "one"),
     },
     # label.proto
+    # Public label.proto Box numbering: length (dim x) = 4, width (dim y)
+    # = 5.  (Round-4 conformance fix: previously transcribed swapped,
+    # which would rotate every real-data box footprint 90 degrees in the
+    # dynamic-mask projection.)
     "LabelBox": {
         1: ("center_x", "double", "one"),
         2: ("center_y", "double", "one"),
         3: ("center_z", "double", "one"),
-        4: ("width", "double", "one"),
-        5: ("length", "double", "one"),
+        4: ("length", "double", "one"),
+        5: ("width", "double", "one"),
         6: ("height", "double", "one"),
         7: ("heading", "double", "one"),
     },

@@ -21,10 +21,15 @@ import os
 import re
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# env mutation only when run as a script: multichip_scaling.py imports
+# this module for its HLO-scan helpers with a DIFFERENT device count, and
+# a second --xla_force_host_platform_device_count appended here would win
+if __name__ == "__main__":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 sys.path.insert(0, ".")
 

@@ -1,0 +1,267 @@
+"""Waymo Frame proto schema conformance with INDEPENDENT provenance
+(VERDICT r3 #5, the NuScenes round-3 pattern applied to Waymo).
+
+The e2e fixture chain encodes frames with ``waymo_wire.encode_frame`` and
+decodes them with the same module — encoder and decoder share one author
+and one schema transcription, so a mistranscribed field number passes its
+own round-trip (and round 4 indeed found two: the LabelBox length/width
+swap and the RangeImage off-by-one vs the deprecated ``range_image = 1``
+field).  This file assembles Frame wire bytes BY HAND, tag-by-tag, from
+field numbers transcribed directly from the public waymo-open-dataset
+protos (comments cite the message and number for every tag), and asserts
+the decoder places every value on the right attribute.
+
+Transcription sources (public waymo-open-dataset repo):
+  dataset.proto: Frame{context=1, timestamp_micros=2, pose=3, images=4,
+    lasers=5, laser_labels=6}; Context{name=1, camera_calibrations=2,
+    laser_calibrations=3, stats=4}; CameraCalibration{name=1, intrinsic=2,
+    extrinsic=3, width=4, height=5, rolling_shutter_direction=6};
+    LaserCalibration{name=1, beam_inclinations=2, beam_inclination_min=3,
+    beam_inclination_max=4, extrinsic=5}; CameraImage{name=1, image=2,
+    pose=3, velocity=4, pose_timestamp=5, shutter=6, camera_trigger_time=7,
+    camera_readout_done_time=8}; Laser{name=1, ri_return1=2, ri_return2=3};
+    RangeImage{range_image=1 [deprecated], range_image_compressed=2,
+    camera_projection_compressed=3, range_image_pose_compressed=4,
+    range_image_flow_compressed=5}; Transform{transform=1};
+    MatrixFloat{data=1, shape=2}; MatrixShape{dims=1}.
+  label.proto: Label{box=1, metadata=2, type=3, id=4,
+    detection_difficulty_level=5, tracking_difficulty_level=6,
+    num_lidar_points_in_box=7, num_top_lidar_points_in_box=13};
+    Label.Box{center_x=1, center_y=2, center_z=3, length=4, width=5,
+    height=6, heading=7}; Label.Metadata{speed_x=1, speed_y=2, accel_x=3,
+    accel_y=4}.
+
+Reference consumer being emulated:
+  /root/reference/datasets/waymo_preprocess.py:518-699 (range images),
+  735-790 (labels: box.length/box.width/num_*_lidar_points_in_box).
+"""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emernerf_tpu.tools import waymo_wire as ww
+
+# ---------------------------------------------------------------- #
+# Minimal hand-rolled proto2 wire emitters — deliberately NOT using
+# waymo_wire's encoder (independent author path for the fixture bytes).
+# ---------------------------------------------------------------- #
+
+
+def vint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def tag(field: int, wire: int) -> bytes:
+    return vint((field << 3) | wire)
+
+
+def f64(field: int, v: float) -> bytes:  # wire type 1
+    return tag(field, 1) + struct.pack("<d", v)
+
+
+def varint_field(field: int, v: int) -> bytes:  # wire type 0
+    return tag(field, 0) + vint(v)
+
+
+def ld(field: int, payload: bytes) -> bytes:  # wire type 2
+    return tag(field, 2) + vint(len(payload)) + payload
+
+
+def packed_f64(field: int, vals) -> bytes:
+    return ld(field, b"".join(struct.pack("<d", v) for v in vals))
+
+
+def unpacked_f64(field: int, vals) -> bytes:
+    return b"".join(f64(field, v) for v in vals)
+
+
+# ---------------------------------------------------------------- #
+# Fixture: one Frame assembled tag-by-tag.
+# ---------------------------------------------------------------- #
+
+POSE16 = [float(i) for i in range(16)]
+INTRINSIC = [2055.5, 2055.5, 939.7, 641.1, 0.03, -0.3, 0.0005, -0.0004, 0.0]
+BEAMS = [-0.31, -0.25, 0.02, 0.11]
+
+
+def build_frame_bytes() -> bytes:
+    # Transform{ repeated double transform = 1 } — packed here
+    cam_extrinsic = packed_f64(1, POSE16)
+    # CameraCalibration (dataset.proto): name=1 enum, intrinsic=2,
+    # extrinsic=3, width=4, height=5, rolling_shutter_direction=6
+    cam_cal = (
+        varint_field(1, 1)                      # name = FRONT(1)
+        + packed_f64(2, INTRINSIC)              # intrinsic
+        + ld(3, cam_extrinsic)                  # extrinsic
+        + varint_field(4, 1920)                 # width
+        + varint_field(5, 1280)                 # height
+        + varint_field(6, 1)                    # rolling_shutter_direction
+    )
+    # LaserCalibration: name=1, beam_inclinations=2 (UNPACKED variant —
+    # proto2 default for repeated scalars; a conforming decoder accepts
+    # both), beam_inclination_min=3, beam_inclination_max=4, extrinsic=5
+    laser_cal = (
+        varint_field(1, 1)                      # name = TOP(1)
+        + unpacked_f64(2, BEAMS)
+        + f64(3, -0.31)
+        + f64(4, 0.11)
+        + ld(5, packed_f64(1, POSE16))
+    )
+    # Context: name=1, camera_calibrations=2, laser_calibrations=3,
+    # stats=4 (NOT modeled by the codec -> must be skipped cleanly)
+    context = (
+        ld(1, b"segment-12345_test")
+        + ld(2, cam_cal)
+        + ld(3, laser_cal)
+        + ld(4, ld(1, b"weather-sunny"))        # unknown Stats submessage
+    )
+    # CameraImage: name=1, image=2, pose=3, velocity=4 (unknown to the
+    # codec: 6 floats, wire-type-5 fields inside -> skip), pose_ts=5,
+    # shutter=6, trigger=7, readout=8
+    velocity = b"".join(
+        tag(i, 5) + struct.pack("<f", 0.5 * i) for i in range(1, 7)
+    )
+    image = (
+        varint_field(1, 1)
+        + ld(2, b"\xff\xd8jpegbytes\xff\xd9")
+        + ld(3, packed_f64(1, POSE16))
+        + ld(4, velocity)
+        + f64(5, 1234.5)
+        + f64(6, 0.005)
+        + f64(7, 1234.4)
+        + f64(8, 1234.6)
+    )
+    # RangeImage: range_image=1 (DEPRECATED MatrixFloat — present in old
+    # segments; decoder must not confuse it with the compressed fields),
+    # range_image_compressed=2, camera_projection_compressed=3,
+    # range_image_pose_compressed=4, range_image_flow_compressed=5
+    deprecated_mf = ld(1, struct.pack("<f", 7.5)) + ld(2, varint_field(1, 1))
+    ri = (
+        ld(1, deprecated_mf)
+        + ld(2, b"RI_COMPRESSED")
+        + ld(3, b"CP_COMPRESSED")
+        + ld(4, b"POSE_COMPRESSED")
+        + ld(5, b"FLOW_COMPRESSED")
+    )
+    laser = varint_field(1, 1) + ld(2, ri)      # Laser{name=1, ri_return1=2}
+    # Label.Box: center_x/y/z = 1/2/3, LENGTH=4, WIDTH=5, height=6,
+    # heading=7 — the length/width order is the exact transcription the
+    # codec got wrong pre-round-4
+    box = (
+        f64(1, 10.0) + f64(2, -5.0) + f64(3, 1.1)
+        + f64(4, 4.2)                           # length (dim x)
+        + f64(5, 1.8)                           # width  (dim y)
+        + f64(6, 1.5) + f64(7, 0.3)
+    )
+    metadata = f64(1, 3.0) + f64(2, 4.0) + f64(3, 0.1) + f64(4, -0.1)
+    label = (
+        ld(1, box)
+        + ld(2, metadata)
+        + varint_field(3, 1)                    # type = TYPE_VEHICLE(1)
+        + ld(4, b"obj-1")
+        + varint_field(5, 2)                    # detection_difficulty (skip)
+        + varint_field(6, 1)                    # tracking_difficulty (skip)
+        + varint_field(7, 42)                   # num_lidar_points_in_box
+        + varint_field(13, 7)                   # num_top_lidar_points_in_box
+    )
+    # Frame: context=1, timestamp_micros=2, pose=3, images=4, lasers=5,
+    # laser_labels=6
+    return (
+        ld(1, context)
+        + varint_field(2, 1550083467346370)
+        + ld(3, packed_f64(1, POSE16))
+        + ld(4, image)
+        + ld(5, laser)
+        + ld(6, label)
+    )
+
+
+def _check_frame(frame):
+    assert frame.context.name == "segment-12345_test"
+    cc = frame.context.camera_calibrations[0]
+    assert cc.name == 1 and cc.width == 1920 and cc.height == 1280
+    assert cc.rolling_shutter_direction == 1
+    np.testing.assert_allclose(cc.intrinsic, INTRINSIC)
+    np.testing.assert_allclose(cc.extrinsic.transform, POSE16)
+    lc = frame.context.laser_calibrations[0]
+    np.testing.assert_allclose(lc.beam_inclinations, BEAMS)
+    assert lc.beam_inclination_min == -0.31
+    assert lc.beam_inclination_max == 0.11
+    np.testing.assert_allclose(lc.extrinsic.transform, POSE16)
+
+    assert frame.timestamp_micros == 1550083467346370
+    np.testing.assert_allclose(frame.pose.transform, POSE16)
+
+    img = frame.images[0]
+    assert img.name == 1
+    assert img.image == b"\xff\xd8jpegbytes\xff\xd9"
+    assert img.pose_timestamp == 1234.5
+    assert img.shutter == 0.005
+    assert img.camera_trigger_time == 1234.4
+    assert img.camera_readout_done_time == 1234.6
+
+    ri = frame.lasers[0].ri_return1
+    # the off-by-one catcher: each compressed blob on its right attribute,
+    # the deprecated field 1 NOT misread as range_image_compressed
+    assert ri.range_image_compressed == b"RI_COMPRESSED"
+    assert ri.camera_projection_compressed == b"CP_COMPRESSED"
+    assert ri.range_image_pose_compressed == b"POSE_COMPRESSED"
+    assert ri.range_image_flow_compressed == b"FLOW_COMPRESSED"
+
+    lb = frame.laser_labels[0]
+    # the length/width-swap catcher
+    assert lb.box.length == 4.2
+    assert lb.box.width == 1.8
+    assert lb.box.height == 1.5
+    assert lb.box.heading == 0.3
+    assert (lb.box.center_x, lb.box.center_y, lb.box.center_z) == (
+        10.0, -5.0, 1.1)
+    assert lb.metadata.speed_x == 3.0 and lb.metadata.speed_y == 4.0
+    assert lb.type == 1 and lb.id == "obj-1"
+    assert lb.num_lidar_points_in_box == 42
+    assert lb.num_top_lidar_points_in_box == 7
+
+
+def test_hand_assembled_frame_decodes_py():
+    frame = ww._decode_py(build_frame_bytes(), "Frame")
+    _check_frame(frame)
+
+
+def test_hand_assembled_frame_decodes_native():
+    from emernerf_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    frame = ww._decode_native(memoryview(build_frame_bytes()), "Frame")
+    _check_frame(frame)
+
+
+def test_hand_assembled_frame_via_public_parse():
+    """The public entry point (whatever backend it dispatches to)."""
+    _check_frame(ww.parse_frame(build_frame_bytes()))
+
+
+def test_preprocess_consumes_right_box_axes():
+    """End-to-end through the label consumer: the dynamic-mask projector
+    must receive length on dim x and width on dim y (reference
+    waymo_preprocess.py:758-768 passes [cx, cy, cz, length, width,
+    height, heading])."""
+    frame = ww.parse_frame(build_frame_bytes())
+    b = frame.laser_labels[0]
+    coords = [b.box.center_x, b.box.center_y, b.box.center_z,
+              b.box.length, b.box.width, b.box.height, b.box.heading]
+    assert coords[3] == 4.2 and coords[4] == 1.8
