@@ -245,6 +245,9 @@ def build_propnets_from_cfg(
             n_features_per_level=enc.n_features_per_level,
             perf=perf,
         )
+        # footprint-based fine-level skipping (brick backend only; the
+        # hash/mx specs have no coarse-view support)
+        skip = int(pcfg.get("fine_level_skip", 0)) if backend == "brick" else 0
         nets.append(
             DensityField(
                 spec=spec,
@@ -253,6 +256,8 @@ def build_propnets_from_cfg(
                 table_dtype=_table_dtype(cfg),
                 table_param_dtype=_table_param_dtype(cfg),
                 mlp_dtype=_mlp_dtype(cfg),
+                fine_level_skip=skip,
+                fine_level_frac=float(pcfg.get("fine_level_frac", 0.5)),
             )
         )
     return nets

@@ -39,6 +39,7 @@ from emernerf_tpu.ops.sh import sh_encode
 from emernerf_tpu.ops.sinusoidal import sinusoidal_encode, sinusoidal_output_dim
 
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -88,7 +89,20 @@ def _table_init(spec, dtype=jnp.float32):
 
 class DensityField(nn.Module):
     """Proposal density network: small hash encoder + 2-layer MLP -> density
-    (radiance_field.py:788-841)."""
+    (radiance_field.py:788-841).
+
+    ``fine_level_skip > 0`` enables footprint-based fine-level skipping
+    (TPU-native row reduction, no reference analogue — the CUDA reference
+    gets its row cuts from nerfacc occupancy skipping): the finest K grid
+    levels are queried only for the first ceil(frac * S) samples of each
+    ray.  Sample index is monotone in t under the uniform_lindisp sampler,
+    and a pixel cone's footprint r = t * pixel_angle exceeds the fine
+    cells' size at large t, where fine-level features alias anyway (the
+    zip-NeRF anti-aliasing argument the prop blur loss already encodes,
+    nerfacc_prop_net.py:22-60).  Far samples read a COARSE VIEW of the
+    same table (static slice, exact same per-level geometry) and their
+    fine features are zero — a STATIC-shape cut of both gather and
+    scatter rows on the proposal grids."""
 
     spec: object  # HashGridSpec | BrickGridSpec
     aabb: Tuple[float, ...] = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
@@ -97,6 +111,8 @@ class DensityField(nn.Module):
     table_dtype: jnp.dtype = jnp.float32
     table_param_dtype: jnp.dtype = jnp.float32
     mlp_dtype: jnp.dtype = jnp.float32
+    fine_level_skip: int = 0
+    fine_level_frac: float = 0.5
 
     def setup(self):
         self.table = self.param(
@@ -106,18 +122,57 @@ class DensityField(nn.Module):
             widths=(self.base_mlp_layer_width, 1), dtype=self.mlp_dtype
         )
 
+    def _encode(self, normed: jnp.ndarray) -> jnp.ndarray:
+        table = self.table.astype(self.table_dtype)
+        k = self.fine_level_skip
+        two_segment = (
+            k > 0
+            and hasattr(self.spec, "view_levels")  # brick backend only
+            and not getattr(self.spec, "has_time", False)
+            and normed.ndim >= 3
+            and k < self.spec.n_levels
+        )
+        if not two_segment:
+            return grid_encode(table, normed, self.spec,
+                               needs_pos_grad=False)
+        s = normed.shape[-2]
+        # near-sample count: ceil(frac * S), rounded up to a multiple of 8
+        # (sublane tile) — static, so both segment encodes compile once
+        s_near = min(s, max(1, int(math.ceil(s * self.fine_level_frac))))
+        s_near = min(s, -(-s_near // 8) * 8)
+        if s_near >= s:
+            return grid_encode(table, normed, self.spec,
+                               needs_pos_grad=False)
+        import dataclasses
+
+        f = self.spec.n_features_per_level
+        coarse_levels = self.spec.n_levels - k
+        cspec = dataclasses.replace(self.spec, view_levels=coarse_levels)
+        ctable = jax.lax.slice_in_dim(
+            table, 0, coarse_levels * self.spec.bricks_per_level
+        )
+        near = jax.lax.slice_in_dim(normed, 0, s_near, axis=-2)
+        far = jax.lax.slice_in_dim(normed, s_near, s, axis=-2)
+        enc_n = grid_encode(table, near, self.spec, needs_pos_grad=False)
+        enc_f = grid_encode(ctable, far, cspec, needs_pos_grad=False)
+        enc_f = jnp.concatenate(
+            [enc_f, jnp.zeros((*enc_f.shape[:-1], k * f), enc_f.dtype)],
+            axis=-1,
+        )
+        return jnp.concatenate([enc_n, enc_f], axis=-2)
+
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
-        """positions: (..., 3) world coords -> density (...,)."""
+        """positions: (..., 3) world coords -> density (...,).
+
+        With fine-level skipping enabled the sample axis (-2) must be
+        sorted near-to-far (true for every sampler in this codebase)."""
         aabb = jnp.asarray(self.aabb, dtype=jnp.float32)
         if self.unbounded:
             normed = contract_merf(positions, aabb)
         else:
             normed = normalize_aabb(positions, aabb)
         normed = normed * inside_unit_cube_selector(normed)[..., None]
-        enc = grid_encode(
-            self.table.astype(self.table_dtype), normed, self.spec,
-            needs_pos_grad=False,
-        ).astype(jnp.float32)
+        enc = self._encode(normed).astype(jnp.float32)
         raw = self.base_mlp(enc)[..., 0]
         return density_activation(raw)
 

@@ -121,6 +121,15 @@ class BrickGridSpec:
     # APPROXIMATION — quality-gated by tests/test_brickgrid.py parity
     # runs; 1 disables (default).
     grad_subsample: int = 1
+    # COARSE VIEW: encode only the leading ``view_levels`` levels (0 = all).
+    # Level geometry (growth factor, scales, resolutions, hash flags) still
+    # derives from the FULL ``n_levels``, so level ``l < view_levels`` is
+    # bit-identical to the same level of the full spec — the table for a
+    # view is simply ``lax.slice_in_dim(full_table, 0, view_levels * B)``.
+    # Used by footprint-based fine-level skipping (DensityField): far
+    # samples whose pixel footprint exceeds the fine cells' size query a
+    # coarse view, cutting gather AND scatter rows.
+    view_levels: int = 0
 
     @property
     def scatter(self) -> str:
@@ -177,15 +186,20 @@ class BrickGridSpec:
         return 1 << self.log2_bricks
 
     @property
+    def n_levels_used(self) -> int:
+        """Levels actually encoded: ``view_levels`` when set, else all."""
+        return self.view_levels or self.n_levels
+
+    @property
     def table_shape(self) -> Tuple[int, int]:
         """(L * B, 27*F): row-major, one brick per row.  Row width 108
         (F=4) pads to 128 lanes — 18% waste vs the 32x penalty of
         features-minor narrow layouts."""
-        return (self.n_levels * self.bricks_per_level, self.row_width)
+        return (self.n_levels_used * self.bricks_per_level, self.row_width)
 
     @property
     def n_output_dims(self) -> int:
-        return self.n_levels * self.n_features_per_level
+        return self.n_levels_used * self.n_features_per_level
 
     @property
     def num_parameters(self) -> int:
@@ -607,7 +621,7 @@ def _encode_impl(table, positions, spec: BrickGridSpec, want_aux: bool = False):
     outs = []
     auxs = [] if want_aux else None
     prev = None
-    for lvl in range(spec.n_levels):
+    for lvl in range(spec.n_levels_used):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )
@@ -731,7 +745,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
     cpb = spec.corners_per_brick
 
     # cotangent per level: (N, L, F)
-    gl = g.reshape(-1, spec.n_levels, f).astype(jnp.float32)
+    gl = g.reshape(-1, spec.n_levels_used, f).astype(jnp.float32)
 
     mode = spec.scatter
     d_level_tables = []  # per-level (B, 27F) fp32 grad buffers
@@ -749,7 +763,7 @@ def _brickgrid_bwd(spec, needs_pos_grad, residuals, g):
         ).astype(jnp.int32)
 
     prev = None
-    for lvl in range(spec.n_levels):
+    for lvl in range(spec.n_levels_used):
         rows, axes, t_frac = _level_geometry(
             spec, xt, tt, lvl, scales, strides, uses_hash
         )

@@ -120,6 +120,20 @@ VARIANTS = {
                       "nerf.sampling.sample_topk=0",
                       "nerf.sampling.lidar_sample_topk=0",
                       "nerf.model.fuse_flow_grid=false"],
+    # footprint-based fine-level skipping on the proposal grids (round 4,
+    # models/fields.py DensityField): finest K levels queried only for the
+    # near half of each ray's samples
+    "finelvl2": ["nerf.propnet.fine_level_skip=2"],
+    "finelvl3": ["nerf.propnet.fine_level_skip=3",
+                 "nerf.propnet.fine_level_frac=0.375"],
+    # the round-4 combined row-knob candidate default: halved lidar-branch
+    # prop samples + halved pixel-branch prop samples + K=24 radiance
+    # pruning + fine-level skipping on the prop grids.  One run gives the
+    # joint quality gate AND the joint speed (steady_ms_per_step)
+    "rowstack": ["nerf.propnet.lidar_num_samples_per_prop=[64,32]",
+                 "nerf.propnet.num_samples_per_prop=[64,32]",
+                 "nerf.sampling.sample_topk=24",
+                 "nerf.propnet.fine_level_skip=2"],
 }
 
 # variants whose spec rebuild turns off the 4D time-paired rows

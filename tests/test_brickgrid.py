@@ -407,3 +407,124 @@ def test_grad_subsample_identical_points_exact():
 
     np.testing.assert_allclose(table_grad(sub), table_grad(base),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- #
+# Coarse view (view_levels) + footprint-based fine-level skipping
+# ---------------------------------------------------------------- #
+
+
+def test_view_levels_forward_matches_full_prefix():
+    """Encoding a coarse view (sliced table, view_levels=Lc) must be
+    bit-identical to the first Lc*F output dims of the full encode —
+    the view changes WHICH levels run, never their geometry."""
+    import dataclasses
+
+    spec = SPEC3
+    key = jax.random.PRNGKey(0)
+    table = init_brickgrid_table(key, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    full = brickgrid_encode(table, x, spec)
+    for lc in (1, 2, 3):
+        cspec = dataclasses.replace(spec, view_levels=lc)
+        ctab = jax.lax.slice_in_dim(table, 0, lc * spec.bricks_per_level)
+        view = brickgrid_encode(ctab, x, cspec)
+        assert view.shape == (257, lc * spec.n_features_per_level)
+        np.testing.assert_array_equal(
+            np.asarray(view),
+            np.asarray(full[:, : lc * spec.n_features_per_level]),
+        )
+
+
+def test_view_levels_vjp_matches_full_with_zero_fine_cotangent():
+    """Pullback through the view == coarse-row slice of the pullback
+    through the full encode with the fine cotangent dims zeroed (exact
+    algebraic identity; validates the view's custom VJP end to end)."""
+    import dataclasses
+
+    spec = SPEC3
+    lc = 2
+    b = spec.bricks_per_level
+    f = spec.n_features_per_level
+    key = jax.random.PRNGKey(2)
+    table = init_brickgrid_table(key, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (129, 3))
+    cspec = dataclasses.replace(spec, view_levels=lc)
+
+    g = jax.random.normal(jax.random.PRNGKey(4), (129, lc * f))
+
+    def view_fn(tab):
+        ctab = jax.lax.slice_in_dim(tab, 0, lc * b)
+        return (brickgrid_encode(ctab, x, cspec) * g).sum()
+
+    g_pad = jnp.concatenate(
+        [g, jnp.zeros((129, (spec.n_levels - lc) * f))], axis=-1
+    )
+
+    def full_fn(tab):
+        return (brickgrid_encode(tab, x, spec) * g_pad).sum()
+
+    d_view = jax.grad(view_fn)(table)
+    d_full = jax.grad(full_fn)(table)
+    np.testing.assert_allclose(
+        np.asarray(d_view[: lc * b]), np.asarray(d_full[: lc * b]),
+        rtol=0, atol=0,
+    )
+    assert float(jnp.abs(d_view[lc * b:]).max()) == 0.0
+
+
+def test_density_field_fine_level_skip_near_segment_exact():
+    """With fine_level_skip on, the NEAR samples' densities are
+    bit-identical to the unskipped field (they see the full encoding);
+    only far samples change (their fine features are zero)."""
+    from emernerf_tpu.models.fields import DensityField
+
+    spec = SPEC3
+    kw = dict(spec=spec, aabb=(-1, -1, -1, 1, 1, 1), unbounded=True,
+              base_mlp_layer_width=16)
+    base = DensityField(**kw)
+    skip = DensityField(**kw, fine_level_skip=2, fine_level_frac=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(5), (13, 24, 3)) * 2.0
+    params = base.init(jax.random.PRNGKey(6), x)
+    d_base = base.apply(params, x)
+    d_skip = skip.apply(params, x)
+    assert d_skip.shape == d_base.shape
+    # frac 0.5 of 24 = 12, already a multiple of 8? no -> rounds to 16
+    s_near = 16
+    np.testing.assert_array_equal(
+        np.asarray(d_skip[:, :s_near]), np.asarray(d_base[:, :s_near])
+    )
+    assert bool(jnp.isfinite(d_skip).all())
+    # far segment really is different (fine features zeroed)
+    assert float(jnp.abs(d_skip[:, s_near:] - d_base[:, s_near:]).max()) > 0
+
+    # gradients flow through both segments
+    def loss(p):
+        return (skip.apply(p, x) ** 2).sum()
+
+    grads = jax.grad(loss)(params)
+    gt = grads["params"]["hash_table"]
+    assert bool(jnp.isfinite(gt).all())
+    assert float(jnp.abs(gt).max()) > 0
+
+
+def test_density_field_skip_flagship_step_runs():
+    """Tiny flagship train step compiles + runs with prop fine-level
+    skipping enabled via config."""
+    from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
+    from emernerf_tpu.flagship import build_flagship
+    from emernerf_tpu.train.step import build_train_step, init_train_state
+
+    cfg, dataset, model, props, step_cfg = build_flagship(
+        tiny=True, overrides=["nerf.propnet.fine_level_skip=1",
+                              "nerf.propnet.fine_level_frac=0.5"])
+    assert props[0].fine_level_skip == 1
+    scene = dataset.scene_tensors()
+    key = jax.random.PRNGKey(0)
+    pixel = sample_pixel_batch(scene, key, cfg.data.ray_batch_size,
+                               use_timestamps=True)
+    lidar = sample_lidar_batch(scene, key, cfg.data.ray_batch_size)
+    state = init_train_state(model, props, step_cfg, key, pixel)
+    step = build_train_step(model, props, step_cfg)
+    state, m = step(state, pixel, lidar, key, pixel_rg=True, lidar_rg=True)
+    assert bool(jnp.isfinite(m["psnr"]))
