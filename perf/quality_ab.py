@@ -190,6 +190,16 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
     state = init_train_state(model, prop_models, step_cfg, key, pixel_batch)
     step_fn = build_train_step(model, prop_models, step_cfg)
 
+    # record which committed-default era this row was measured on:
+    # rows recorded after the staged lidar-K default (round 3+) anchor to
+    # the `stagedl16` curve, not `stopk32l16`/`base` (quality_report.py)
+    extra = {
+        "defaults_lidar_topk_until": float(
+            getattr(step_cfg, "lidar_topk_until", 1.0)),
+        "defaults_era": "staged" if lidar_full_at(
+            step_cfg, steps - 1) else "prestaged",
+    }
+
     t0 = time.time()
     psnrs, rmses, curve = [], [], []
     for it in range(steps):
@@ -231,13 +241,15 @@ def run_variant(name: str, steps: int, eval_window: int = 50,
             psnrs, rmses = [], []
             # incremental write: a `timeout` kill mid-run (the queue wraps
             # each variant in one) must not lose the curve-so-far
-            _write_result(name, steps, time.time() - t0, curve, partial=True)
+            _write_result(name, steps, time.time() - t0, curve,
+                          partial=True, extra=extra)
     wall = time.time() - t0
-    result = _write_result(name, steps, wall, curve, partial=False)
+    result = _write_result(name, steps, wall, curve, partial=False,
+                           extra=extra)
     print(json.dumps({name: {k: v for k, v in result.items() if k != "curve"}}))
 
 
-def _write_result(name, steps, wall, curve, partial):
+def _write_result(name, steps, wall, curve, partial, extra=None):
     # steady-state step time: slope of the curve timestamps AFTER the first
     # record window, so compile + rg-warmup wall time is excluded (VERDICT
     # r2 weak #6: the old ms_per_step conflated them and got misquoted).
@@ -260,6 +272,8 @@ def _write_result(name, steps, wall, curve, partial):
         "final_range_rmse": curve[-1]["range_rmse"] if curve else None,
         "curve": curve,
     }
+    if extra:
+        result.update(extra)
     merged = {}
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:

@@ -47,9 +47,16 @@ def main():
     for name, v in d.items():
         if not v["curve"] or name in PAIR_BASES:
             continue
-        base_name = BASE_OVERRIDE.get(
-            name, "stopk32l16" if name in R3_VARIANTS else "base"
-        )
+        # anchor priority: explicit pair override > the recorded-era flag
+        # (rows measured after the staged lidar-K default carry
+        # defaults_era="staged" and replay the stagedl16 curve as their
+        # matched base) > the legacy name sets
+        if name in BASE_OVERRIDE:
+            base_name = BASE_OVERRIDE[name]
+        elif v.get("defaults_era") == "staged" and name != "stagedl16":
+            base_name = "stagedl16"
+        else:
+            base_name = "stopk32l16" if name in R3_VARIANTS else "base"
         if base_name not in d:
             continue
         base = d[base_name]

@@ -30,6 +30,10 @@ qual() {
   timeout "$3" python perf/quality_ab.py --variant "$1" --steps "$2" || true
 }
 
+# quick probe (~5 min): per-level vs batched all-level prop gathers
+echo "=== bench_level_batch ($(date -u +%H:%M:%S)) ==="
+timeout 1200 python perf/bench_level_batch.py || true
+
 qual rowstack      2500 5400
 qual onehot0       2500 5400
 qual timepair0     2500 5400

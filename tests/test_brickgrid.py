@@ -484,7 +484,7 @@ def test_density_field_fine_level_skip_near_segment_exact():
               base_mlp_layer_width=16)
     base = DensityField(**kw)
     skip = DensityField(**kw, fine_level_skip=2, fine_level_frac=0.5)
-    x = jax.random.normal(jax.random.PRNGKey(5), (13, 24, 3)) * 2.0
+    x = jax.random.normal(jax.random.PRNGKey(5), (5, 24, 3)) * 2.0
     params = base.init(jax.random.PRNGKey(6), x)
     d_base = base.apply(params, x)
     d_skip = skip.apply(params, x)
@@ -508,9 +508,12 @@ def test_density_field_fine_level_skip_near_segment_exact():
     assert float(jnp.abs(gt).max()) > 0
 
 
+@pytest.mark.slow
 def test_density_field_skip_flagship_step_runs():
     """Tiny flagship train step compiles + runs with prop fine-level
-    skipping enabled via config."""
+    skipping enabled via config.  Slow tier: builds the full train step
+    (~85 s CPU); the default tier covers the same path via the
+    DensityField-level tests above."""
     from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
     from emernerf_tpu.flagship import build_flagship
     from emernerf_tpu.train.step import build_train_step, init_train_state
