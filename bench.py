@@ -78,15 +78,18 @@ def main():
     raw = os.environ.get("BENCH_OVERRIDES", "")
 
     def _split_overrides(raw: str) -> list:
-        # split on ";" or "," only at bracket depth 0, so a list-valued
-        # override (num_samples_per_prop=[64,32]) never needs quoting games
+        # When ";" is present it is THE separator (the documented escape
+        # for comma-containing values like a.b=x,y); otherwise split on
+        # "," — in both cases only at bracket depth 0, so a list-valued
+        # override (num_samples_per_prop=[64,32]) needs no quoting games
+        seps = ";" if ";" in raw else ","
         out, cur, depth = [], [], 0
         for ch in raw:
             if ch in "[(":
                 depth += 1
             elif ch in "])":
                 depth -= 1
-            if ch in ";," and depth == 0:
+            if ch in seps and depth == 0:
                 out.append("".join(cur))
                 cur = []
             else:
@@ -173,16 +176,18 @@ def main():
     # BENCH_OVERRIDES skip this (2 extra compiles) unless BENCH_STAGED=1 —
     # they are knob A/Bs against pruned-phase numbers, not the committed
     # default the driver records.
+    from emernerf_tpu.train.step import lidar_full_at
+
     staged_frac = 1.0 - float(getattr(step_cfg, "lidar_topk_until", 1.0))
     staged_on = (
-        staged_frac > 0.0
+        # the exact condition the trainer uses to switch variants
+        lidar_full_at(step_cfg, step_cfg.num_iters - 1)
         and getattr(step_cfg, "has_lidar", False)
         and (os.environ.get("BENCH_STAGED", "1" if not overrides else "0")
              == "1")
     )
     staged = None
     if staged_on:
-        from emernerf_tpu.train.step import lidar_full_at  # noqa: F401
 
         t_c1 = time.time()
         state, m = step_fn(state, pixel_batch, lidar_batch, key,

@@ -246,8 +246,20 @@ def build_propnets_from_cfg(
             perf=perf,
         )
         # footprint-based fine-level skipping (brick backend only; the
-        # hash/mx specs have no coarse-view support)
-        skip = int(pcfg.get("fine_level_skip", 0)) if backend == "brick" else 0
+        # hash/mx specs have no coarse-view support).  Misconfiguration
+        # ERRORS instead of silently measuring nothing (round-4 review):
+        # a quality gate must never pass because the knob never engaged.
+        skip = int(pcfg.get("fine_level_skip", 0))
+        if skip > 0 and backend != "brick":
+            raise ValueError(
+                f"nerf.propnet.fine_level_skip={skip} requires "
+                f"grid_backend=brick (got {backend!r}): the hash/mx specs "
+                "have no coarse-view support")
+        if skip > 0 and skip >= int(enc.n_levels_per_prop[i]):
+            raise ValueError(
+                f"nerf.propnet.fine_level_skip={skip} must be < the prop "
+                f"grid's n_levels ({int(enc.n_levels_per_prop[i])} for "
+                f"prop {i}): at least one coarse level must remain")
         nets.append(
             DensityField(
                 spec=spec,

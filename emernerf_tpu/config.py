@@ -125,15 +125,29 @@ def load_config(
     if dotlist:
         user.merge_(from_dotlist(dotlist))
     cfg.merge_(user)
-    # Default-interaction normalization (ADVICE r3 #2): staged lidar-K
-    # (nerf.sampling.lidar_topk_until, default 0.9 since round 3) is
-    # meaningless under optim.fused_lidar_branch — one combined render has
-    # one sample_topk.  A user opting into the fused branch on an otherwise
-    # default config must not hit build_train_step's hard conflict error for
-    # a knob they never touched, so the DEFAULT value yields to the fused
-    # branch here; an EXPLICIT user setting of both still errors (step.py).
-    if cfg.get_dotted("optim.fused_lidar_branch", False) and (
-        user.get_dotted("nerf.sampling.lidar_topk_until", None) is None
-    ):
-        cfg.set_dotted("nerf.sampling.lidar_topk_until", 1.0)
+    normalize_default_interactions(cfg, user)
     return cfg
+
+
+def normalize_default_interactions(cfg: "ConfigNode",
+                                   user: Optional[Dict[str, Any]]) -> None:
+    """Default-interaction normalization AFTER user overrides merge
+    (ADVICE r3 #2): staged lidar-K (nerf.sampling.lidar_topk_until,
+    default 0.9 since round 3) is meaningless under
+    optim.fused_lidar_branch — one combined render has one sample_topk.
+    A user opting into the fused branch on an otherwise-default config
+    must not hit build_train_step's hard conflict error for a knob they
+    never touched, so the DEFAULT value yields to the fused branch; an
+    EXPLICIT user setting of both still errors (step.py).
+
+    ``user`` holds ONLY the user-provided overrides (a ConfigNode or
+    nested dict; None = no overrides).  Every entry point that merges
+    overrides itself (flagship.py) must call this afterwards — the
+    round-4 review found the load_config-only placement let
+    build_flagship(overrides=[...]) bypass the fix."""
+    user_until = None
+    if user is not None:
+        user_node = user if isinstance(user, ConfigNode) else ConfigNode(user)
+        user_until = user_node.get_dotted("nerf.sampling.lidar_topk_until")
+    if cfg.get_dotted("optim.fused_lidar_branch", False) and user_until is None:
+        cfg.set_dotted("nerf.sampling.lidar_topk_until", 1.0)

@@ -14,7 +14,11 @@ from emernerf_tpu.builders import (
     build_propnets_from_cfg,
     build_train_step_config,
 )
-from emernerf_tpu.config import from_dotlist, load_config
+from emernerf_tpu.config import (
+    from_dotlist,
+    load_config,
+    normalize_default_interactions,
+)
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_CONFIG = os.path.join(_REPO_ROOT, "configs", "default_config.yaml")
@@ -56,7 +60,9 @@ def flagship_config(tiny: bool = False, overrides=()):
             # keep the top-k aggregation path exercised at tiny scale
             "nerf.model.head.temporal_agg_topk=2",
         ]
-    cfg.merge_(from_dotlist(list(dot) + list(overrides)))
+    user = from_dotlist(list(dot) + list(overrides))
+    cfg.merge_(user)
+    normalize_default_interactions(cfg, user)
     return cfg
 
 

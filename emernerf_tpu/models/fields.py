@@ -125,14 +125,22 @@ class DensityField(nn.Module):
     def _encode(self, normed: jnp.ndarray) -> jnp.ndarray:
         table = self.table.astype(self.table_dtype)
         k = self.fine_level_skip
-        two_segment = (
-            k > 0
-            and hasattr(self.spec, "view_levels")  # brick backend only
-            and not getattr(self.spec, "has_time", False)
-            and normed.ndim >= 3
-            and k < self.spec.n_levels
-        )
-        if not two_segment:
+        if k > 0:
+            # misconfiguration errors loudly (round-4 review: a silent
+            # no-op would let a quality gate pass without the knob ever
+            # engaging); builders.py pre-validates the config path
+            if not hasattr(self.spec, "view_levels") or getattr(
+                    self.spec, "has_time", False):
+                raise ValueError(
+                    "fine_level_skip requires a 3D brick-grid spec "
+                    f"(got {type(self.spec).__name__})")
+            if k >= self.spec.n_levels:
+                raise ValueError(
+                    f"fine_level_skip={k} must be < n_levels="
+                    f"{self.spec.n_levels}")
+        # flat point queries (no sample axis, e.g. occupancy probes) have
+        # no near/far structure — full encode is the correct semantics
+        if k <= 0 or normed.ndim < 3:
             return grid_encode(table, normed, self.spec,
                                needs_pos_grad=False)
         s = normed.shape[-2]

@@ -161,8 +161,23 @@ def main():
                      f"{p['collective_ms_at_45GBps']} |")
     lines += ["", "Verdict: see MULTICHIP_SCALING.json; sublinear iff "
               "op counts are flat in n and per-chip bytes ~B(n-1)/n.", ""]
-    with open(os.path.join(here, "MULTICHIP_MODEL.md"), "a") as f:
-        f.write("\n".join(lines))
+    # replace any previous scan section instead of appending a duplicate
+    # (re-runs after a flake must not leave two conflicting tables)
+    marker = "## Scaling scan: explicit ZeRO collectives"
+    md_path = os.path.join(here, "MULTICHIP_MODEL.md")
+    body = ""
+    if os.path.exists(md_path):
+        body = open(md_path).read()
+        if marker in body:
+            import re as _re
+
+            head, _, tail = body.partition(marker)
+            # the old section runs to the next heading of ANY level (the
+            # hand-written "### Verdict (round 4)" must survive a re-run)
+            m = _re.search(r"\n#{2,3} ", tail)
+            body = head + (tail[m.start() + 1:] if m else "")
+    with open(md_path, "w") as f:
+        f.write(body.rstrip("\n") + "\n" + "\n".join(lines))
     print("\n".join(lines))
 
 

@@ -120,6 +120,16 @@ VARIANTS = {
                       "nerf.sampling.sample_topk=0",
                       "nerf.sampling.lidar_sample_topk=0",
                       "nerf.model.fuse_flow_grid=false"],
+    # 2500-step editions of the 1/4-batch joint pair under their own names
+    # so the recorded 1000-step brick4k/hash4k/refsembrick4k rows (and the
+    # hash4k pair match) survive — results merge by name, and a rerun at a
+    # different num_iters changes the whole lr schedule
+    "brick4k2500": ["data.ray_batch_size=4096"],
+    "refsem4k2500": ["data.ray_batch_size=4096",
+                     "nerf.model.head.temporal_agg_topk=0",
+                     "nerf.sampling.sample_topk=0",
+                     "nerf.sampling.lidar_sample_topk=0",
+                     "nerf.model.fuse_flow_grid=false"],
     # footprint-based fine-level skipping on the proposal grids (round 4,
     # models/fields.py DensityField): finest K levels queried only for the
     # near half of each ray's samples
@@ -137,7 +147,7 @@ VARIANTS = {
 }
 
 # variants whose spec rebuild turns off the 4D time-paired rows
-_TIMEPAIR0 = {"timepair0", "refsembrick", "refsembrick4k"}
+_TIMEPAIR0 = {"timepair0", "refsembrick", "refsembrick4k", "refsem4k2500"}
 
 # Variants recorded at or after round 3 run on the pruning-on defaults
 # (sample_topk=32, lidar_sample_topk=16 — commit bb10e44); their base

@@ -20,12 +20,13 @@ R3_VARIANTS = {"hash", "refsem", "refsembrick", "stagedl16", "nofuse",
                "mx", "mxr8", "mxr32", "brick4k", "hash4k", "refsembrick4k"}
 
 # matched pairs measured against each other, not the default curve
-BASE_OVERRIDE = {"hash4k": "brick4k", "refsembrick4k": "brick4k"}
+BASE_OVERRIDE = {"hash4k": "brick4k", "refsembrick4k": "brick4k",
+                 "refsem4k2500": "brick4k2500"}
 
 # anchors of matched pairs: not variants themselves — comparing a 1/4-batch
 # run against the full-batch default curve would be a cross-batch apples
 # comparison, so these only appear as the `base` of their pair rows
-PAIR_BASES = {"brick4k"}
+PAIR_BASES = {"brick4k", "brick4k2500"}
 
 
 def _ms(v):

@@ -41,7 +41,10 @@ qual lprop6432     2500 4500
 qual finelvl2      2500 4500
 qual nofuse        2500 7200
 qual topk0         2500 7200
-qual brick4k       2500 3600
-qual refsembrick4k 2500 5400
+# 2500-step joint pair under NEW names: rerunning brick4k/refsembrick4k
+# at a different num_iters would overwrite the 1000-step rows the
+# recorded hash4k pair is matched against (round-4 review finding)
+qual brick4k2500   2500 3600
+qual refsem4k2500  2500 5400
 
 echo "=== queue9 done ($(date -u +%H:%M:%S)) ==="

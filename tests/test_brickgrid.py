@@ -531,3 +531,41 @@ def test_density_field_skip_flagship_step_runs():
     step = build_train_step(model, props, step_cfg)
     state, m = step(state, pixel, lidar, key, pixel_rg=True, lidar_rg=True)
     assert bool(jnp.isfinite(m["psnr"]))
+
+
+def test_fine_level_skip_misconfig_errors():
+    """fine_level_skip must ERROR on misconfiguration, never silently
+    no-op (a quality gate must not pass because the knob never engaged)."""
+    import dataclasses
+
+    from emernerf_tpu.builders import build_propnets_from_cfg
+    from emernerf_tpu.flagship import flagship_config
+    from emernerf_tpu.models.fields import DensityField
+
+    class _FakeDS:
+        aabb = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+
+    # non-brick backend: hard error at build time
+    cfg = flagship_config(tiny=True, overrides=[
+        "nerf.model.grid_backend=hash", "nerf.propnet.fine_level_skip=1"])
+    with pytest.raises(ValueError, match="grid_backend=brick"):
+        build_propnets_from_cfg(cfg, _FakeDS())
+
+    # skip >= n_levels: hard error at build time (tiny props have 2 levels)
+    cfg = flagship_config(tiny=True, overrides=[
+        "nerf.propnet.fine_level_skip=2"])
+    with pytest.raises(ValueError, match="must be < the prop"):
+        build_propnets_from_cfg(cfg, _FakeDS())
+
+    # direct-API misuse errors at trace time too
+    df = DensityField(spec=SPEC3, aabb=(-1, -1, -1, 1, 1, 1),
+                      fine_level_skip=SPEC3.n_levels)
+    with pytest.raises(ValueError, match="must be < n_levels"):
+        df.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 3)))
+
+    # 4D spec (has_time) rejected (positions stay (.., 3): the check
+    # fires before any encode)
+    df4 = DensityField(spec=SPEC4, aabb=(-1, -1, -1, 1, 1, 1),
+                       fine_level_skip=1)
+    with pytest.raises(ValueError, match="3D brick-grid"):
+        df4.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 3)))

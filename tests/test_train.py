@@ -316,6 +316,17 @@ def test_fused_branch_on_default_config_normalizes_staged_k():
                                         "nerf.sampling.lidar_topk_until=0.8"])
     assert cfg.nerf.sampling.lidar_topk_until == 0.8  # explicit: kept
 
+    # the OTHER override entry point (round-4 review: flagship_config
+    # merges overrides AFTER load_config, bypassing a load_config-only
+    # normalization) must normalize too
+    from emernerf_tpu.flagship import flagship_config
+
+    fcfg = flagship_config(overrides=["optim.fused_lidar_branch=true"])
+    assert fcfg.nerf.sampling.lidar_topk_until == 1.0
+    fcfg = flagship_config(overrides=["optim.fused_lidar_branch=true",
+                                      "nerf.sampling.lidar_topk_until=0.8"])
+    assert fcfg.nerf.sampling.lidar_topk_until == 0.8
+
 
 def test_lidar_prop_samples_config_roundtrip():
     """configs nerf.propnet.lidar_num_samples_per_prop reaches
