@@ -60,8 +60,51 @@ def _require_devices(timeout_s: float = 300.0):
     os._exit(1)
 
 
+def _refuse_if_chip_busy():
+    """A bench overlapping another chip job measures contention, not the
+    program (round-4 weak #3: the driver bench ran while the flagship
+    held the chip and reported -5% on an unchanged default).  Every
+    long-running chip job in this repo records its pid in /tmp (the
+    tpu_queue*.sh / flagship launch convention); refuse to bench while
+    any of them is alive.  BENCH_IGNORE_LOCK=1 overrides (for intentional
+    contention experiments)."""
+    import glob as _glob
+
+    if os.environ.get("BENCH_IGNORE_LOCK") == "1":
+        return
+    patterns = ("/tmp/northstar*.pid", "/tmp/flagship*.pid",
+                "/tmp/rowstack*.pid", "/tmp/tpu_queue*.pid",
+                "/tmp/quality*.pid", "/tmp/chipjob*.pid")
+    for pat in patterns:
+        for p in _glob.glob(pat):
+            try:
+                pid = int(open(p).read().strip())
+                os.kill(pid, 0)  # raises if not alive
+                # guard against pid recycling: only treat it as a chip
+                # job if the live process looks like one of ours
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace")
+                if not any(s in cmd for s in
+                           ("python", "train_emernerf", "quality_ab",
+                            "tpu_queue", "bash")):
+                    continue
+            except (ValueError, OSError):
+                continue
+            print(json.dumps({
+                "metric": "train_rays_per_sec", "value": 0.0,
+                "unit": "rays/s", "vs_baseline": 0.0,
+                "error": f"chip busy: live job pid {pid} ({p}); "
+                         "re-run when it finishes or set "
+                         "BENCH_IGNORE_LOCK=1",
+            }))
+            sys.stdout.flush()
+            os._exit(2)
+
+
 def main():
     enable_compilation_cache()
+    _refuse_if_chip_busy()
     _require_devices()
     preset = os.environ.get("BENCH_PRESET", "full")
     tiny = preset == "tiny"
@@ -89,11 +132,19 @@ def main():
                 depth += 1
             elif ch in "])":
                 depth -= 1
+                if depth < 0:
+                    # an unbalanced "]"/")" would silently fuse the rest
+                    # of the overrides into one malformed entry; fail loud
+                    raise ValueError(
+                        f"unbalanced bracket in BENCH_OVERRIDES: {raw!r}")
             if ch in seps and depth == 0:
                 out.append("".join(cur))
                 cur = []
             else:
                 cur.append(ch)
+        if depth != 0:
+            raise ValueError(
+                f"unclosed bracket in BENCH_OVERRIDES: {raw!r}")
         out.append("".join(cur))
         return [s.strip() for s in out if s.strip()]
 
@@ -271,6 +322,18 @@ def main():
                     d = json.load(f)
                 result[field] = d.get("reference", d) \
                     if fname == "BENCH_PROFILES.json" else d
+    # psnr_smoke floor (round-4 weak #7): ~14 dB after a handful of steps
+    # has been stable for three rounds; below 12 means the step is
+    # numerically broken, and the bench must FAIL, not record a liveness
+    # number nobody reads.  Applies to the committed-default measurement
+    # only (probe variants legitimately move early PSNR).
+    if not tiny and profile == "default" and not overrides and psnr < 12.0:
+        result["error"] = (
+            f"psnr_smoke {psnr:.2f} below the 12.0 floor: the default "
+            "train step is numerically broken")
+        print(json.dumps(result))
+        sys.stdout.flush()
+        os._exit(3)
     print(json.dumps(result))
     print(
         f"# mixed {t_mixed * 1e3:.1f} ms/step (no-rg {t_norg * 1e3:.1f}, "

@@ -50,6 +50,10 @@ def flagship_config(tiny: bool = False, overrides=()):
             "nerf.model.dynamic_xyz_encoder.log2_hashmap_size=10",
             "nerf.model.dynamic_xyz_encoder.max_resolution=64",
             "nerf.propnet.num_samples_per_prop=[8,4]",
+            # tiny prop grids have 2 levels / <=8 samples: fine-level
+            # skipping can neither engage nor validate there (it ERRORS
+            # loudly by design); explicit overrides still win over this
+            "nerf.propnet.fine_level_skip=0",
             "nerf.propnet.xyz_encoder.n_levels_per_prop=[2,2]",
             "nerf.propnet.xyz_encoder.max_resolution_per_prop=[32,64]",
             "nerf.propnet.xyz_encoder.lgo2_hashmap_size_per_prop=[10,10]",

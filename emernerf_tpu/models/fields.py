@@ -144,13 +144,23 @@ class DensityField(nn.Module):
             return grid_encode(table, normed, self.spec,
                                needs_pos_grad=False)
         s = normed.shape[-2]
-        # near-sample count: ceil(frac * S), rounded up to a multiple of 8
-        # (sublane tile) — static, so both segment encodes compile once
+        # near-sample count: ceil(frac * S), snapped DOWN to the sublane
+        # tile (multiple of 8, floor 8) — static, so both segment encodes
+        # compile once.  Rounding down instead of up keeps the knob
+        # engaged for small S (round-4 review: rounding UP silently
+        # disabled it whenever ceil(frac*S) reached S, so a quality gate
+        # could pass without the knob ever running).
         s_near = min(s, max(1, int(math.ceil(s * self.fine_level_frac))))
-        s_near = min(s, -(-s_near // 8) * 8)
+        s_near = max(8, (s_near // 8) * 8)
         if s_near >= s:
-            return grid_encode(table, normed, self.spec,
-                               needs_pos_grad=False)
+            # too few samples for a near/far split: erroring loudly is
+            # this knob's contract — a silent full-encode fallback would
+            # let its quality/speed gates measure nothing
+            raise ValueError(
+                f"fine_level_skip={k} cannot engage: sample count {s} "
+                f"with fine_level_frac={self.fine_level_frac} leaves no "
+                f"far segment (need > {s_near} samples on the sorted "
+                f"axis); raise num_samples_per_prop or disable the knob")
         import dataclasses
 
         f = self.spec.n_features_per_level

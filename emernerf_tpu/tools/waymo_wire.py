@@ -93,16 +93,20 @@ SCHEMA: Dict[str, Dict[int, tuple]] = {
         3: ("ri_return2", "msg:RangeImage", "one"),
     },
     # label.proto
-    # Public label.proto Box numbering: length (dim x) = 4, width (dim y)
-    # = 5.  (Round-4 conformance fix: previously transcribed swapped,
-    # which would rotate every real-data box footprint 90 degrees in the
-    # dynamic-mask projection.)
+    # Public label.proto Label.Box numbering is NON-SEQUENTIAL: the file
+    # declares, under the comment "length: dim x. width: dim y.",
+    #     optional double length = 5;
+    #     optional double width = 4;
+    # i.e. field 4 = width (dim y), field 5 = length (dim x).  The round-4
+    # "fix" had swapped these to the sequential-looking {4: length,
+    # 5: width}, rotating every real-data box footprint 90 degrees in the
+    # dynamic-mask projection; round 5 reverts to the declared numbering.
     "LabelBox": {
         1: ("center_x", "double", "one"),
         2: ("center_y", "double", "one"),
         3: ("center_z", "double", "one"),
-        4: ("length", "double", "one"),
-        5: ("width", "double", "one"),
+        4: ("width", "double", "one"),
+        5: ("length", "double", "one"),
         6: ("height", "double", "one"),
         7: ("heading", "double", "one"),
     },

@@ -120,32 +120,51 @@ class MetricLogger:
             return self.meters[attr]
         raise AttributeError(attr)
 
-    def dump_in_output_file(self, iteration, iter_time, data_time):
+    def dump_in_output_file(self, iteration, iter_time, data_time,
+                            dispatch_time=None):
         if self.output_file is None:
             return
         record = dict(
             iteration=iteration, iter_time=iter_time, data_time=data_time,
         )
+        if dispatch_time is not None:
+            record["dispatch_time"] = dispatch_time
         record.update({k: v.median for k, v in self.meters.items()})
         with open(self.output_file, "a") as f:
             f.write(json.dumps(record) + "\n")
 
     def log_every(self, iterable, print_freq: int, header: str = ""):
+        """Iterate + print progress.  Under JAX async dispatch a per-loop
+        timer lies: 19 dispatches at ~0.04 s + one blocking fetch absorbing
+        the queued device work averages to nonsense (round-4 flagship log
+        printed `time: 7.55` at a true 0.76 s/step).  The printed/dumped
+        ``time:`` is therefore WALL CLOCK since the previous print divided
+        by the steps in between — the only honest per-step time an async
+        client can report — while the per-loop measure is kept as
+        ``disp:``/``dispatch_time`` (host-side dispatch + fetch cost)."""
         start_time = time.time()
         end = time.time()
-        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        dispatch_time = SmoothedValue(fmt="{avg:.4f}")
         data_time = SmoothedValue(fmt="{avg:.4f}")
         n = len(iterable)
+        last_print_t = start_time
+        last_print_i = -1
 
         for i, obj in enumerate(iterable):
             data_time.update(time.time() - end)
             yield obj
-            iter_time.update(time.time() - end)
+            dispatch_time.update(time.time() - end)
             if i % print_freq == 0 or i == n - 1:
+                now = time.time()
+                wall_step = (now - last_print_t) / max(i - last_print_i, 1)
+                last_print_t, last_print_i = now, i
                 self.dump_in_output_file(
-                    iteration=i, iter_time=iter_time.avg, data_time=data_time.avg
+                    iteration=i, iter_time=wall_step,
+                    data_time=data_time.avg,
+                    dispatch_time=dispatch_time.avg,
                 )
-                eta_seconds = iter_time.global_avg * (n - i)
+                # ETA from the global wall average (honest under async)
+                eta_seconds = (now - start_time) / (i + 1) * (n - i)
                 eta = str(datetime.timedelta(seconds=int(eta_seconds)))
                 meters = self.delimiter.join(
                     f"{name}: {meter}" for name, meter in self.meters.items()
@@ -154,7 +173,9 @@ class MetricLogger:
                     self.delimiter.join(
                         [
                             header, f"[{i}/{n}]", f"eta: {eta}", meters,
-                            f"time: {iter_time}", f"data: {data_time}",
+                            f"time: {wall_step:.4f}",
+                            f"disp: {dispatch_time}",
+                            f"data: {data_time}",
                         ]
                     ).strip()
                 )

@@ -161,23 +161,31 @@ def main():
                      f"{p['collective_ms_at_45GBps']} |")
     lines += ["", "Verdict: see MULTICHIP_SCALING.json; sublinear iff "
               "op counts are flat in n and per-chip bytes ~B(n-1)/n.", ""]
-    # replace any previous scan section instead of appending a duplicate
-    # (re-runs after a flake must not leave two conflicting tables)
+    # replace any previous scan section IN PLACE instead of appending a
+    # duplicate (re-runs after a flake must not leave two conflicting
+    # tables, and hand-written sections after the scan — e.g. "### Verdict
+    # (round 4)" — must stay AFTER the tables they interpret)
     marker = "## Scaling scan: explicit ZeRO collectives"
     md_path = os.path.join(here, "MULTICHIP_MODEL.md")
+    new_section = "\n".join(lines)
     body = ""
     if os.path.exists(md_path):
         body = open(md_path).read()
-        if marker in body:
-            import re as _re
+    if marker in body:
+        import re as _re
 
-            head, _, tail = body.partition(marker)
-            # the old section runs to the next heading of ANY level (the
-            # hand-written "### Verdict (round 4)" must survive a re-run)
-            m = _re.search(r"\n#{2,3} ", tail)
-            body = head + (tail[m.start() + 1:] if m else "")
+        head, _, tail = body.partition(marker)
+        # the old section runs to the next heading of ANY level; splice
+        # the regenerated section back at the marker position so the
+        # preserved tail keeps following it
+        m = _re.search(r"\n#{2,3} ", tail)
+        preserved = tail[m.start() + 1:] if m else ""
+        body = (head.rstrip("\n") + new_section
+                + ("\n" + preserved if preserved else "\n"))
+    else:
+        body = body.rstrip("\n") + "\n" + new_section
     with open(md_path, "w") as f:
-        f.write(body.rstrip("\n") + "\n" + "\n".join(lines))
+        f.write(body)
     print("\n".join(lines))
 
 

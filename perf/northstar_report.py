@@ -1,23 +1,24 @@
 #!/usr/bin/env python
-"""Summarize the 25k north-star flagship run (VERDICT r3 #1) into
-perf/NORTHSTAR_r04.md: training curve milestones from the run's
-metrics.json (JSON-lines), final eval metric files, artifact inventory
-(checkpoints / videos / buffer maps), and wall-clock accounting.
+"""Summarize a north-star flagship run (VERDICT r3 #1) into a markdown
+report: training curve milestones from the run's metrics.json
+(JSON-lines), final eval metric files, artifact inventory (checkpoints /
+videos / buffer maps), and wall-clock accounting.
 
-Usage: python perf/northstar_report.py [run_dir]
-       (default work_dirs/northstar/r4_25k)
+Usage: python perf/northstar_report.py [run_dir] [--out OUT.md]
+       (default run_dir work_dirs/northstar/r5_25k; default output
+       perf/NORTHSTAR_<run-dir-basename>.md so reports for different
+       runs never overwrite each other — round-4 review finding)
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
-import sys
 
 
-def main():
-    run = sys.argv[1] if len(sys.argv) > 1 else "work_dirs/northstar/r4_25k"
+def build_report(run: str) -> str:
     lines = [f"# North-star flagship run: `{run}`", ""]
 
     # training curve from JSON-lines metrics.json
@@ -30,24 +31,31 @@ def main():
                     curve.append(json.loads(ln))
                 except json.JSONDecodeError:
                     pass
-    if curve:
-        steps = [c for c in curve if "psnr" in c and "iteration" in c]
+    steps = [c for c in curve if "psnr" in c and "iteration" in c]
+    if steps:
         lines += ["## Training curve (smoothed meters at print_freq)", "",
-                  "| step | psnr | range_rmse | rgb_loss |", "|---|---|---|---|"]
-        marks = {200, 1000, 2500, 5000, 10000, 15000, 20000, 22400, 22600,
-                 24800, 25000}
-        last = steps[-1]["iteration"] if steps else None
-        for c in steps:
-            s = c["iteration"]
-            if s in marks or s == last:
-                lines.append(
-                    f"| {s} | {c.get('psnr', float('nan')):.2f} | "
-                    f"{c.get('range_rmse', float('nan')):.3f} | "
-                    f"{c.get('rgb_loss', float('nan')):.4f} |")
+                  "| step | psnr | range_rmse | rgb_loss | s/step |",
+                  "|---|---|---|---|---|"]
+        # ~12 milestones derived from the iterations actually present
+        # (round-4 review: a hardcoded mark set tied the report to one
+        # run's print cadence), plus always the last row
+        idx = sorted({round(i * (len(steps) - 1) / 11) for i in range(12)})
+        for j in idx:
+            c = steps[j]
+            t = c.get("iter_time")
+            lines.append(
+                f"| {c['iteration']} | {c.get('psnr', float('nan')):.2f} | "
+                f"{c.get('range_rmse', float('nan')):.3f} | "
+                f"{c.get('rgb_loss', float('nan')):.4f} | "
+                f"{t:.3f} |" if t is not None else
+                f"| {c['iteration']} | {c.get('psnr', float('nan')):.2f} | "
+                f"{c.get('range_rmse', float('nan')):.3f} | "
+                f"{c.get('rgb_loss', float('nan')):.4f} | - |")
         lines.append("")
 
     # final eval metric jsons
     for pat, title in (("metrics_all_*.json", "Final evaluation"),
+                       ("metrics_test_*.json", "Test-split eval"),
                        ("metrics_lowres_*.json", "Low-res eval"),
                        ("metrics_full_*.json", "Full-res eval")):
         for p in sorted(glob.glob(os.path.join(run, pat))):
@@ -69,12 +77,32 @@ def main():
                          f"({', '.join(os.path.basename(h) for h in hits[:4])}"
                          f"{', ...' if len(hits) > 4 else ''})")
     lines.append("")
+    return "\n".join(lines)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "NORTHSTAR_r04.md")
+
+def write_report(run: str, out: str | None = None) -> str:
+    """Build + write the report; returns the output path.  Called by the
+    trainer at exit (train_emernerf.py) so the committed report can never
+    go stale relative to its run (round-4 weak #4)."""
+    if out is None:
+        perf_dir = os.path.dirname(os.path.abspath(__file__))
+        base = os.path.basename(os.path.normpath(run)) or "run"
+        out = os.path.join(perf_dir, f"NORTHSTAR_{base}.md")
+    text = build_report(run)
     with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print("\n".join(lines))
+        f.write(text)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run", nargs="?", default="work_dirs/northstar/r5_25k")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = write_report(args.run, args.out)
+    with open(out) as f:
+        print(f.read())
+    print(f"[northstar_report] wrote {out}")
 
 
 if __name__ == "__main__":

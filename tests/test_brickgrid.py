@@ -489,8 +489,8 @@ def test_density_field_fine_level_skip_near_segment_exact():
     d_base = base.apply(params, x)
     d_skip = skip.apply(params, x)
     assert d_skip.shape == d_base.shape
-    # frac 0.5 of 24 = 12, already a multiple of 8? no -> rounds to 16
-    s_near = 16
+    # frac 0.5 of 24 = 12, snapped DOWN to the sublane tile -> 8
+    s_near = 8
     np.testing.assert_array_equal(
         np.asarray(d_skip[:, :s_near]), np.asarray(d_base[:, :s_near])
     )
@@ -520,8 +520,36 @@ def test_density_field_skip_flagship_step_runs():
 
     cfg, dataset, model, props, step_cfg = build_flagship(
         tiny=True, overrides=["nerf.propnet.fine_level_skip=1",
-                              "nerf.propnet.fine_level_frac=0.5"])
+                              "nerf.propnet.fine_level_frac=0.5",
+                              # tiny default [8,4] is too small for a
+                              # near/far split (the knob now ERRORS when
+                              # it cannot engage); 16 samples -> s_near=8
+                              "nerf.propnet.num_samples_per_prop=[16,16]",
+                              # the prop field is also queried at the
+                              # final samples (prop supervision); keep
+                              # every query > the 8-sample split floor
+                              "nerf.sampling.num_samples=16"])
     assert props[0].fine_level_skip == 1
+    # prove the knob ENGAGES at this shape (round-4 review: the old tiny
+    # shape compiled a step where the skip path never ran): the skipped
+    # field must differ from an unskipped clone on sorted samples
+    import dataclasses as _dc
+
+    x_sorted = jnp.sort(
+        jax.random.normal(jax.random.PRNGKey(1), (4, 16, 3)), axis=-2
+    )
+    p0 = props[0].init(jax.random.PRNGKey(2), x_sorted)
+    # fresh tables init near zero (both paths would trivially agree);
+    # randomize so zeroed fine features are visible
+    p0 = jax.tree.map(
+        lambda t: jax.random.normal(jax.random.PRNGKey(3), t.shape, t.dtype),
+        p0,
+    )
+    noskip = _dc.replace(props[0], fine_level_skip=0) if _dc.is_dataclass(
+        props[0]) else props[0].clone(fine_level_skip=0)
+    d_skip = props[0].apply(p0, x_sorted)
+    d_full = noskip.apply(p0, x_sorted)
+    assert float(jnp.abs(d_skip - d_full).max()) > 0
     scene = dataset.scene_tensors()
     key = jax.random.PRNGKey(0)
     pixel = sample_pixel_batch(scene, key, cfg.data.ray_batch_size,
@@ -561,6 +589,13 @@ def test_fine_level_skip_misconfig_errors():
     df = DensityField(spec=SPEC3, aabb=(-1, -1, -1, 1, 1, 1),
                       fine_level_skip=SPEC3.n_levels)
     with pytest.raises(ValueError, match="must be < n_levels"):
+        df.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 3)))
+
+    # too few samples for a near/far split: errors instead of silently
+    # falling back to a full encode (round-4 review finding)
+    df = DensityField(spec=SPEC3, aabb=(-1, -1, -1, 1, 1, 1),
+                      fine_level_skip=1)
+    with pytest.raises(ValueError, match="cannot engage"):
         df.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 3)))
 
     # 4D spec (has_time) rejected (positions stay (.., 3): the check

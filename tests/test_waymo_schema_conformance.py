@@ -4,9 +4,12 @@
 The e2e fixture chain encodes frames with ``waymo_wire.encode_frame`` and
 decodes them with the same module — encoder and decoder share one author
 and one schema transcription, so a mistranscribed field number passes its
-own round-trip (and round 4 indeed found two: the LabelBox length/width
-swap and the RangeImage off-by-one vs the deprecated ``range_image = 1``
-field).  This file assembles Frame wire bytes BY HAND, tag-by-tag, from
+own round-trip (round 4 found the RangeImage off-by-one vs the deprecated
+``range_image = 1`` field this way; round 5 corrected the LabelBox
+length/width transcription BACK — the public proto's declaration order is
+the trap: ``length = 5; width = 4;`` under the comment "length: dim x.
+width: dim y.", so field 4 is width and field 5 is length, non-sequential
+on purpose).  This file assembles Frame wire bytes BY HAND, tag-by-tag, from
 field numbers transcribed directly from the public waymo-open-dataset
 protos (comments cite the message and number for every tag), and asserts
 the decoder places every value on the right attribute.
@@ -27,7 +30,7 @@ Transcription sources (public waymo-open-dataset repo):
   label.proto: Label{box=1, metadata=2, type=3, id=4,
     detection_difficulty_level=5, tracking_difficulty_level=6,
     num_lidar_points_in_box=7, num_top_lidar_points_in_box=13};
-    Label.Box{center_x=1, center_y=2, center_z=3, length=4, width=5,
+    Label.Box{center_x=1, center_y=2, center_z=3, width=4, length=5,
     height=6, heading=7}; Label.Metadata{speed_x=1, speed_y=2, accel_x=3,
     accel_y=4}.
 
@@ -158,13 +161,14 @@ def build_frame_bytes() -> bytes:
         + ld(5, b"FLOW_COMPRESSED")
     )
     laser = varint_field(1, 1) + ld(2, ri)      # Laser{name=1, ri_return1=2}
-    # Label.Box: center_x/y/z = 1/2/3, LENGTH=4, WIDTH=5, height=6,
-    # heading=7 — the length/width order is the exact transcription the
-    # codec got wrong pre-round-4
+    # Label.Box: center_x/y/z = 1/2/3, WIDTH=4, LENGTH=5 (the proto
+    # declares them out of numeric order: "length = 5; width = 4;"),
+    # height=6, heading=7 — the exact transcription the codec got wrong
+    # in round 4 by "fixing" it to the sequential-looking order
     box = (
         f64(1, 10.0) + f64(2, -5.0) + f64(3, 1.1)
-        + f64(4, 4.2)                           # length (dim x)
-        + f64(5, 1.8)                           # width  (dim y)
+        + f64(4, 1.8)                           # width  (dim y) = field 4
+        + f64(5, 4.2)                           # length (dim x) = field 5
         + f64(6, 1.5) + f64(7, 0.3)
     )
     metadata = f64(1, 3.0) + f64(2, 4.0) + f64(3, 0.1) + f64(4, -0.1)

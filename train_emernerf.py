@@ -196,6 +196,15 @@ def main(args):
     )
     trainer.evaluate()
 
+    # regenerate the run report at exit so the committed summary can never
+    # go stale relative to its run (round-4 weak #4)
+    try:
+        from perf.northstar_report import write_report
+
+        logger.info("Run report: %s", write_report(cfg.log_dir))
+    except Exception as e:  # reporting must never kill a finished run
+        logger.warning("run report generation failed: %s", e)
+
     # reclaim disk from extracted feature maps when asked
     # (reference train_emernerf.py:1019-1020)
     if cfg.data.pixel_source.get("delete_features_after_run", False):
