@@ -144,6 +144,14 @@ VARIANTS = {
                  "nerf.propnet.num_samples_per_prop=[64,32]",
                  "nerf.sampling.sample_topk=24",
                  "nerf.propnet.fine_level_skip=2"],
+    # PIXEL-side row knobs only (round 5): the joint rowstack run passed
+    # its PSNR gate but FAILED depth (range RMSE 6.2 vs anchor 0.32 at
+    # 2400 — the lidar-branch prop hierarchy and the fine-skipped prop
+    # grids both feed the LoS loss).  This stack leaves the lidar branch
+    # untouched: halved PIXEL prop rows + K=24 radiance pruning.
+    "pixstack": ["nerf.propnet.num_samples_per_prop=[64,32]",
+                 "nerf.propnet.lidar_num_samples_per_prop=[128,64]",
+                 "nerf.sampling.sample_topk=24"],
 }
 
 # variants whose spec rebuild turns off the 4D time-paired rows
