@@ -36,10 +36,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 sys.path.insert(0, {REPO!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
+from jax.sharding import NamedSharding
+
 from emernerf_tpu.data.scene import sample_lidar_batch, sample_pixel_batch
 from emernerf_tpu.flagship import build_flagship
 from emernerf_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
-from emernerf_tpu.parallel.spmd import SpmdConfig, shard_state
+from emernerf_tpu.parallel.spmd import SpmdConfig, state_partition_specs
 from emernerf_tpu.train.step import build_train_step, init_train_state
 from emernerf_tpu.utils.cache import enable_compilation_cache
 
@@ -53,12 +55,22 @@ scene = dataset.scene_tensors()
 key = jax.random.PRNGKey(0)
 pixel = sample_pixel_batch(scene, key, rb, use_timestamps=True)
 lidar = sample_lidar_batch(scene, key, rb)
-state = init_train_state(model, prop_models, step_cfg, key, pixel)
+# AOT path: never materialize the 283M-param state on the host — lower()
+# accepts ShapeDtypeStructs carrying shardings, and the buffer assignment
+# is what we are after (a single CPU core takes ~10 min just to run the
+# full-size random init eagerly)
+state = jax.eval_shape(
+    lambda k, pb: init_train_state(model, prop_models, step_cfg, k, pb),
+    key, pixel)
 n_params = sum(x.size for x in jax.tree.leaves(state.params))
 n_prop = sum(x.size for x in jax.tree.leaves(state.prop_params))
 mesh = make_mesh(n)
 spmd = SpmdConfig()
-state = shard_state(state, mesh, spmd)
+specs = state_partition_specs(state, spmd, n)
+state = jax.tree.map(
+    lambda x, s: jax.ShapeDtypeStruct(
+        x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+    state, specs)
 rep, shd = replicated_sharding(mesh), batch_sharding(mesh)
 pixel = jax.device_put(pixel, shd)
 lidar = jax.device_put(lidar, shd)
