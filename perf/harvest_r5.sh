@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Round-5 flagship harvest (VERDICT r4 #1).
+#
+# Round 4 failed by letting the 25k flagship run past round end: no eval,
+# no videos, no quality number. Round 5's run (work_dirs/northstar/r5_25k,
+# launched 07:07 UTC) lost ~1 h to a 07:46-08:49 dispatch stall, so the
+# 25k finish (~13:50+) now lands after round close (~13:45) — the same
+# failure mode. This script guarantees a COMPLETE in-round artifact set
+# instead: it waits for checkpoint_20001 (or a hard deadline), stops the
+# trainer, runs --eval_only from the newest checkpoint (renders + metric
+# JSONs + videos + regenerated run report), and leaves the chip idle and
+# pid-file-clean for the round-end driver bench (round-4 weak #3).
+#
+#   nohup bash perf/harvest_r5.sh > /tmp/harvest_r5.log 2>&1 &
+#   echo $! > /tmp/harvest.pid
+set -u
+cd "$(dirname "$0")/.."
+
+RUN=work_dirs/northstar/r5_25k
+# stop waiting for checkpoint_20001 at 13:08 UTC: eval needs ~10-15 min
+# (axon remote compile is volatile) + cleanup well before the ~13:45
+# round-end driver bench
+KILL_AT=${KILL_AT:-$(date -u -d 'today 13:08' +%s)}
+# absolute do-not-run-past time for the eval itself
+EVAL_HARD_END=${EVAL_HARD_END:-$(date -u -d 'today 13:38' +%s)}
+
+PID=$(cat /tmp/northstar25k.pid 2>/dev/null || echo)
+
+echo "=== waiting for $RUN/checkpoint_20001 or $(date -u -d @"$KILL_AT" +%H:%M:%S) (pid ${PID:-none}, $(date -u +%H:%M:%S)) ==="
+while [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; do
+  [ -d "$RUN/checkpoint_20001" ] && { echo "=== checkpoint_20001 landed ($(date -u +%H:%M:%S)) ==="; break; }
+  [ "$(date +%s)" -ge "$KILL_AT" ] && { echo "=== deadline hit without checkpoint_20001 ($(date -u +%H:%M:%S)) ==="; break; }
+  sleep 30
+done
+
+# stop the trainer: the pid file holds the nohup bash wrapper; kill its
+# python child too (by parent pid — never by name pattern)
+if [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; then
+  sleep 10  # let any in-flight orbax write settle past its atomic rename
+  CHILDREN=$(ps -o pid= --ppid "$PID" 2>/dev/null || echo)
+  echo "=== stopping trainer: $PID children: $CHILDREN ==="
+  for p in $CHILDREN $PID; do kill "$p" 2>/dev/null || true; done
+  for i in $(seq 45); do
+    alive=0
+    for p in $CHILDREN $PID; do kill -0 "$p" 2>/dev/null && alive=1; done
+    [ "$alive" = 0 ] && break
+    sleep 2
+  done
+  for p in $CHILDREN $PID; do kill -9 "$p" 2>/dev/null || true; done
+fi
+rm -f /tmp/northstar25k.pid
+sleep 15  # let the device tunnel settle
+
+BUDGET=$(( EVAL_HARD_END - $(date +%s) ))
+if [ "$BUDGET" -lt 120 ]; then
+  echo "=== no eval window left (${BUDGET}s) — leaving chip idle ==="
+  rm -f /tmp/harvest.pid
+  exit 0
+fi
+echo "=== eval_only from latest checkpoint (budget ${BUDGET}s, $(date -u +%H:%M:%S)) ==="
+timeout "$BUDGET" python train_emernerf.py \
+  --config_file "$RUN/config.yaml" \
+  --output_root work_dirs --project northstar --run_name r5_25k \
+  --eval_only >> /tmp/harvest_eval.log 2>&1
+rc=$?
+echo "=== eval_only rc=$rc ($(date -u +%H:%M:%S)) ==="
+ls "$RUN"/metrics_*.json 2>/dev/null || true
+ls "$RUN"/*videos/*.mp4 "$RUN"/videos/*.mp4 2>/dev/null | head || true
+
+rm -f /tmp/harvest.pid
+echo "=== harvest done, chip idle ($(date -u +%H:%M:%S)) ==="

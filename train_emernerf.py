@@ -181,6 +181,14 @@ def main(args):
 
     if args.eval_only:
         trainer.evaluate()
+        # keep the committed run summary in sync with a post-hoc eval just
+        # like the end-of-training path below (round-4 weak #4)
+        try:
+            from perf.northstar_report import write_report
+
+            logger.info("Run report: %s", write_report(cfg.log_dir))
+        except Exception as e:
+            logger.warning("run report generation failed: %s", e)
         return
 
     t0 = time.time()
