@@ -67,5 +67,17 @@ echo "=== eval_only rc=$rc ($(date -u +%H:%M:%S)) ==="
 ls "$RUN"/metrics_*.json 2>/dev/null || true
 ls "$RUN"/*videos/*.mp4 "$RUN"/videos/*.mp4 2>/dev/null | head || true
 
+# optional: one clean committed-default bench if a full window remains
+# before the round-end driver bench (~13:45). Also warms the compile
+# cache so the driver bench spends its wall clock measuring, not
+# compiling.
+BLEFT=$(( EVAL_HARD_END + 120 - $(date +%s) ))
+if [ "$BLEFT" -gt 1200 ]; then
+  echo "=== clean bench (budget ${BLEFT}s, $(date -u +%H:%M:%S)) ==="
+  timeout "$BLEFT" python bench.py \
+    > /tmp/bench_r05_clean.json 2>/tmp/bench_r05_clean.err \
+    && tail -2 /tmp/bench_r05_clean.json || echo "bench rc=$?"
+fi
+
 rm -f /tmp/harvest.pid
 echo "=== harvest done, chip idle ($(date -u +%H:%M:%S)) ==="
