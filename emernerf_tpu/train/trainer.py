@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import signal
 import time
 from functools import partial
 from typing import Dict, Optional
@@ -215,6 +216,7 @@ class Trainer:
         )
 
         self.start_step = 0
+        self.preempted = False
         if cfg.resume_from:
             self.state = load_checkpoint(cfg.resume_from, self.state)
             self.start_step = int(self.state.step)
@@ -234,8 +236,50 @@ class Trainer:
         prof_start = int(cfg.logging.get("profiling_start_iter", -1))
         prof_iters = int(cfg.logging.get("profiling_num_iters", 5))
 
+        # Graceful preemption (no reference analogue; TPU pods are routinely
+        # preempted): first SIGTERM/SIGINT requests a clean stop — the loop
+        # finishes the current step, saves a checkpoint at that step, and
+        # returns normally so a later resume_from/--eval_only loses nothing.
+        # Handlers are restored on first receipt, so a second signal kills
+        # the process the default way.
+        stop_signal: list = []
+        prev_handlers: dict = {}
+
+        def _request_stop(signum, frame):
+            stop_signal.append(signum)
+            for sig, h in prev_handlers.items():
+                try:
+                    signal.signal(sig, h)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
+
+        if bool(cfg.optim.get("checkpoint_on_preempt", True)):
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    prev_handlers[sig] = signal.signal(sig, _request_stop)
+                except ValueError:
+                    # signal.signal only works in the main thread; trainers
+                    # driven from worker threads simply lose this feature
+                    prev_handlers.clear()
+                    break
+
         all_iters = np.arange(self.start_step, num_iters + 1)
         for step in metric_logger.log_every(all_iters, cfg.logging.print_freq):
+            if stop_signal:
+                path = save_checkpoint(self.log_dir, self.state)
+                logger.info(
+                    "Preempted (signal %d) at step %d: saved %s; exiting "
+                    "cleanly", stop_signal[0], int(self.state.step), path,
+                )
+                for sig, h in prev_handlers.items():
+                    try:
+                        signal.signal(sig, h)
+                    except (ValueError, OSError):  # pragma: no cover
+                        pass
+                # callers (train_emernerf.main) skip end-of-training eval:
+                # a preemption grace window cannot afford a full render pass
+                self.preempted = True
+                return self.state
             if prof_start >= 0 and step == prof_start:
                 prof_dir = os.path.join(self.log_dir, "profile")
                 os.makedirs(prof_dir, exist_ok=True)
@@ -292,6 +336,11 @@ class Trainer:
                 self._refresh_error_map()
                 error_map_buffered = True
 
+        for sig, h in prev_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
         path = save_checkpoint(self.log_dir, self.state)
         logger.info("Saved final checkpoint: %s", path)
         return self.state

@@ -536,3 +536,53 @@ def test_log_every_reports_wall_clock_under_async_dispatch(tmp_path):
     assert rec["iter_time"] < fetch_sleep / 2
     # the dispatch-side measure is still recorded, separately
     assert "dispatch_time" in rec
+
+
+@pytest.mark.slow
+def test_preemption_saves_checkpoint_and_exits_cleanly(tmp_path, monkeypatch):
+    """Graceful preemption (trainer.py, optim.checkpoint_on_preempt): the
+    first SIGTERM makes the train loop finish the in-flight step, save
+    checkpoint_{step}, restore the previous signal handlers, and return
+    normally — so a preempted TPU job can resume_from / --eval_only with
+    nothing lost.  No reference analogue (the reference dies mid-step)."""
+    import os
+    import signal as _signal
+
+    from emernerf_tpu.flagship import flagship_config
+    from emernerf_tpu.train.trainer import Trainer
+
+    cfg = flagship_config(
+        tiny=True,
+        overrides=[
+            "optim.num_iters=50",
+            "logging.print_freq=10",
+            "logging.saveckpt_freq=0",
+            "render.render_low_res=false",
+            "render.render_full=false",
+            "render.render_test=false",
+        ],
+    )
+    trainer = Trainer(cfg, str(tmp_path))
+    real_step = trainer.train_step
+
+    def signaling_step(state, pixel_batch, lidar_batch, key, **kw):
+        # read BEFORE the call: the fused step donates the input state
+        pre_step = int(state.step)
+        out = real_step(state, pixel_batch, lidar_batch, key, **kw)
+        if pre_step == 3:  # pre-increment step: fires during step 4
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(trainer, "train_step", signaling_step)
+    state = trainer.train()  # must return, not die
+    assert trainer.preempted is True
+    stopped = int(state.step)
+    assert 3 < stopped < 50, f"expected an early stop, got step {stopped}"
+    ckpts = sorted(tmp_path.glob("checkpoint_*"))
+    assert ckpts, "preemption checkpoint missing"
+    assert ckpts[-1].name == f"checkpoint_{stopped:05d}"
+    # handler restored on first receipt: ours is gone from the signal table
+    assert (
+        getattr(_signal.getsignal(_signal.SIGTERM), "__name__", "")
+        != "_request_stop"
+    )

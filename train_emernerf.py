@@ -193,6 +193,11 @@ def main(args):
 
     t0 = time.time()
     trainer.train()
+    if trainer.preempted:
+        # exit inside the preemption grace window: the checkpoint is saved,
+        # a later --eval_only / resume_from picks up from it
+        logger.info("Preempted: skipping end-of-training evaluation")
+        return
     elapsed = time.time() - t0
     iters = cfg.optim.num_iters - trainer.start_step
     rays_per_iter = cfg.data.ray_batch_size * (
