@@ -321,7 +321,11 @@ class Trainer:
                 step > 0
                 and cfg.logging.saveckpt_freq > 0
                 and step % cfg.logging.saveckpt_freq == 0
-                and not cfg.resume_from
+                # reference quirk kept: hand-resumed runs never save
+                # (train_emernerf.py:864) — but --auto_resume re-enables
+                # saving, else preempt/restart cycles would stop persisting
+                and (not cfg.resume_from or bool(cfg.get("auto_resumed",
+                                                         False)))
             ):
                 path = save_checkpoint(self.log_dir, self.state)
                 logger.info("Saved checkpoint: %s", path)

@@ -153,3 +153,40 @@ def test_time_pair_knob_reaches_specs():
     assert model.flow_spec is not None and not model.flow_spec.time_pair
     _, _, m2, _, _ = build_flagship(tiny=True)
     assert m2.dynamic_spec.time_pair and m2.flow_spec.time_pair
+
+
+@pytest.mark.slow
+def test_cli_auto_resume_continues_and_keeps_checkpointing(tmp_path):
+    """--auto_resume picks up the newest checkpoint in the run dir and —
+    unlike a hand-set resume_from (reference quirk: resumed runs never
+    save, train_emernerf.py:864) — keeps periodic checkpointing enabled,
+    so preempt/restart cycles persist progress."""
+    from train_emernerf import get_args_parser, main
+
+    base = (
+        ["--output_root", str(tmp_path), "--project", "p", "--run_name", "ar"]
+        + TINY_OVERRIDES
+        + ["render.render_low_res=false"]
+    )
+    # first run: completes 12 iters, saves its final checkpoint
+    main(get_args_parser().parse_args(base + ["optim.num_iters=12"]))
+    run_dir = tmp_path / "p" / "ar"
+    # inclusive loop (0..num_iters) + post-increment naming: final
+    # checkpoint is num_iters+1, matching the flagship's checkpoint_20001
+    first = sorted(run_dir.glob("checkpoint_*"))
+    assert first and first[-1].name == "checkpoint_00013"
+
+    # second run, SAME command + --auto_resume + longer schedule: resumes
+    # at 13, periodic save at loop step 16 still fires despite
+    # resume_from being set
+    # flags must precede the positional dotlist (REMAINDER semantics)
+    main(get_args_parser().parse_args(
+        base[:6] + ["--auto_resume"] + base[6:]
+        + ["optim.num_iters=20", "logging.saveckpt_freq=16"]
+    ))
+    names = {p.name for p in run_dir.glob("checkpoint_*")}
+    assert "checkpoint_00017" in names, (
+        "periodic checkpoint did not fire on the auto-resumed run: "
+        f"{sorted(names)}"
+    )
+    assert "checkpoint_00021" in names

@@ -39,6 +39,13 @@ def get_args_parser():
                         default=None)
     parser.add_argument("--eval_only", action="store_true",
                         help="perform evaluation only")
+    parser.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from the newest checkpoint in the run directory if "
+        "one exists (pairs with optim.checkpoint_on_preempt: a preempted "
+        "job restarted with the SAME command continues where it stopped; "
+        "unlike resume_from, periodic checkpointing stays enabled)",
+    )
     parser.add_argument("--visualize_voxel", action="store_true",
                         help="visualize voxel field after training")
     parser.add_argument(
@@ -127,6 +134,22 @@ def main(args):
         return
 
     from emernerf_tpu.train.trainer import Trainer  # deferred: heavy imports
+
+    if getattr(args, "auto_resume", False) and not cfg.resume_from:
+        from emernerf_tpu.train.checkpoints import latest_checkpoint
+
+        ckpt = latest_checkpoint(cfg.log_dir)
+        if ckpt is not None:
+            cfg.resume_from = ckpt
+            # unlike a hand-set resume_from (reference quirk: resumed runs
+            # never save, train_emernerf.py:864), an auto-resumed run keeps
+            # periodic checkpointing on — preempt/restart cycles must not
+            # silently stop persisting progress
+            cfg.auto_resumed = True
+            logger.info("auto_resume: resuming from %s", ckpt)
+        else:
+            logger.info("auto_resume: no checkpoint yet under %s",
+                        cfg.log_dir)
 
     if (args.eval_only or args.visualize_voxel) and not cfg.resume_from:
         # --eval_only without resume_from would silently evaluate a random
