@@ -263,91 +263,90 @@ class Trainer:
                     prev_handlers.clear()
                     break
 
-        all_iters = np.arange(self.start_step, num_iters + 1)
-        for step in metric_logger.log_every(all_iters, cfg.logging.print_freq):
-            if stop_signal:
-                path = save_checkpoint(self.log_dir, self.state)
-                logger.info(
-                    "Preempted (signal %d) at step %d: saved %s; exiting "
-                    "cleanly", stop_signal[0], int(self.state.step), path,
+        try:
+            all_iters = np.arange(self.start_step, num_iters + 1)
+            for step in metric_logger.log_every(all_iters, cfg.logging.print_freq):
+                if stop_signal:
+                    path = save_checkpoint(self.log_dir, self.state)
+                    logger.info(
+                        "Preempted (signal %d) at step %d: saved %s; exiting "
+                        "cleanly", stop_signal[0], int(self.state.step), path,
+                    )
+                    # callers (train_emernerf.main) skip end-of-training eval:
+                    # a preemption grace window cannot afford a full render pass
+                    self.preempted = True
+                    return self.state
+                if prof_start >= 0 and step == prof_start:
+                    prof_dir = os.path.join(self.log_dir, "profile")
+                    os.makedirs(prof_dir, exist_ok=True)
+                    jax.profiler.start_trace(prof_dir)
+                    logger.info("Started jax.profiler trace -> %s", prof_dir)
+                self.key, k_p, k_l, k_s = jax.random.split(self.key, 4)
+                pixel_rg = rg_fn(int(step))
+                if error_map_buffered and self.buffer_ratio > 0:
+                    pixel_batch = self._sample_pixel(self.scene, k_p)
+                else:
+                    pixel_batch = self._sample_pixel_uniform(self.scene, k_p)
+                if self.step_cfg.has_lidar:
+                    lidar_rg = rg_fn(int(step))
+                    lidar_batch = self._sample_lidar(self.scene, k_l)
+                else:
+                    lidar_rg = False
+                    lidar_batch = None
+
+                self.state, m = self.train_step(
+                    self.state, pixel_batch, lidar_batch, k_s,
+                    pixel_rg=pixel_rg, lidar_rg=lidar_rg,
+                    lidar_full=lidar_full_at(self.step_cfg, int(step)),
                 )
-                for sig, h in prev_handlers.items():
-                    try:
-                        signal.signal(sig, h)
-                    except (ValueError, OSError):  # pragma: no cover
-                        pass
-                # callers (train_emernerf.main) skip end-of-training eval:
-                # a preemption grace window cannot afford a full render pass
-                self.preempted = True
-                return self.state
-            if prof_start >= 0 and step == prof_start:
-                prof_dir = os.path.join(self.log_dir, "profile")
-                os.makedirs(prof_dir, exist_ok=True)
-                jax.profiler.start_trace(prof_dir)
-                logger.info("Started jax.profiler trace -> %s", prof_dir)
-            self.key, k_p, k_l, k_s = jax.random.split(self.key, 4)
-            pixel_rg = rg_fn(int(step))
-            if error_map_buffered and self.buffer_ratio > 0:
-                pixel_batch = self._sample_pixel(self.scene, k_p)
-            else:
-                pixel_batch = self._sample_pixel_uniform(self.scene, k_p)
-            if self.step_cfg.has_lidar:
-                lidar_rg = rg_fn(int(step))
-                lidar_batch = self._sample_lidar(self.scene, k_l)
-            else:
-                lidar_rg = False
-                lidar_batch = None
 
-            self.state, m = self.train_step(
-                self.state, pixel_batch, lidar_batch, k_s,
-                pixel_rg=pixel_rg, lidar_rg=lidar_rg,
-                lidar_full=lidar_full_at(self.step_cfg, int(step)),
-            )
+                if prof_start >= 0 and step == prof_start + prof_iters:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    logger.info("Stopped jax.profiler trace at step %d", int(step))
 
-            if prof_start >= 0 and step == prof_start + prof_iters:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-                logger.info("Stopped jax.profiler trace at step %d", int(step))
+                if step % cfg.logging.print_freq == 0 or step == num_iters:
+                    scalars = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
+                    metric_logger.update(**scalars)
+                    if self.wandb is not None:
+                        self.wandb.log(scalars, step=int(step))
+                    if check_nan:
+                        raise_on_nonfinite(scalars, int(step))
 
-            if step % cfg.logging.print_freq == 0 or step == num_iters:
-                scalars = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
-                metric_logger.update(**scalars)
-                if self.wandb is not None:
-                    self.wandb.log(scalars, step=int(step))
-                if check_nan:
-                    raise_on_nonfinite(scalars, int(step))
+                if (
+                    step > 0
+                    and cfg.logging.saveckpt_freq > 0
+                    and step % cfg.logging.saveckpt_freq == 0
+                    # reference quirk kept: hand-resumed runs never save
+                    # (train_emernerf.py:864) — but --auto_resume re-enables
+                    # saving, else preempt/restart cycles would stop persisting
+                    and (not cfg.resume_from or bool(cfg.get("auto_resumed",
+                                                             False)))
+                ):
+                    path = save_checkpoint(self.log_dir, self.state)
+                    logger.info("Saved checkpoint: %s", path)
 
-            if (
-                step > 0
-                and cfg.logging.saveckpt_freq > 0
-                and step % cfg.logging.saveckpt_freq == 0
-                # reference quirk kept: hand-resumed runs never save
-                # (train_emernerf.py:864) — but --auto_resume re-enables
-                # saving, else preempt/restart cycles would stop persisting
-                and (not cfg.resume_from or bool(cfg.get("auto_resumed",
-                                                         False)))
-            ):
-                path = save_checkpoint(self.log_dir, self.state)
-                logger.info("Saved checkpoint: %s", path)
+                # pixel-error-buffer refresh from low-res renders
+                # (train_emernerf.py:879-930)
+                if (
+                    self.buffer_ratio > 0
+                    and step > 0
+                    and step % cfg.optim.cache_rgb_freq == 0
+                ):
+                    self._refresh_error_map()
+                    error_map_buffered = True
 
-            # pixel-error-buffer refresh from low-res renders
-            # (train_emernerf.py:879-930)
-            if (
-                self.buffer_ratio > 0
-                and step > 0
-                and step % cfg.optim.cache_rgb_freq == 0
-            ):
-                self._refresh_error_map()
-                error_map_buffered = True
-
-        for sig, h in prev_handlers.items():
-            try:
-                signal.signal(sig, h)
-            except (ValueError, OSError):  # pragma: no cover
-                pass
-        path = save_checkpoint(self.log_dir, self.state)
-        logger.info("Saved final checkpoint: %s", path)
-        return self.state
+            path = save_checkpoint(self.log_dir, self.state)
+            logger.info("Saved final checkpoint: %s", path)
+            return self.state
+        finally:
+            # restore handlers on EVERY exit path — a raised NaN tripwire
+            # must not leak _request_stop into the process signal table
+            for sig, h in prev_handlers.items():
+                try:
+                    signal.signal(sig, h)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
 
     # ---------------------------------------------------------------- #
     def _refresh_error_map(self):
