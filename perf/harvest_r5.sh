@@ -57,8 +57,21 @@ if [ "$BUDGET" -lt 120 ]; then
   rm -f /tmp/harvest.pid
   exit 0
 fi
-echo "=== eval_only from latest checkpoint (budget ${BUDGET}s, $(date -u +%H:%M:%S)) ==="
-timeout "$BUDGET" python train_emernerf.py \
+# the axon tunnel stalls for tens of minutes at a time (07:46 and 12:28
+# stalls today); a chip eval during a stall would hang to its timeout
+# and produce nothing. Probe the tunnel with a trivial op; fall back to
+# a CPU eval (slow but tunnel-independent) if it does not answer.
+EVAL_ENV=()
+if timeout 120 python -c "import jax; print(float(jax.numpy.zeros(8).sum()))" \
+    > /dev/null 2>&1; then
+  echo "=== tunnel probe OK: chip eval ($(date -u +%H:%M:%S)) ==="
+else
+  echo "=== tunnel probe FAILED: CPU eval fallback ($(date -u +%H:%M:%S)) ==="
+  EVAL_ENV=(env JAX_PLATFORMS=cpu)
+fi
+BUDGET=$(( EVAL_HARD_END - $(date +%s) ))
+echo "=== eval_only from latest checkpoint (budget ${BUDGET}s) ==="
+timeout "$BUDGET" "${EVAL_ENV[@]}" python train_emernerf.py \
   --config_file "$RUN/config.yaml" \
   --output_root work_dirs --project northstar --run_name r5_25k \
   --eval_only >> /tmp/harvest_eval.log 2>&1
@@ -72,6 +85,10 @@ ls "$RUN"/*videos/*.mp4 "$RUN"/videos/*.mp4 2>/dev/null | head || true
 # cache so the driver bench spends its wall clock measuring, not
 # compiling.
 BLEFT=$(( EVAL_HARD_END + 120 - $(date +%s) ))
+if [ "${#EVAL_ENV[@]}" -gt 0 ]; then
+  echo "=== skipping bench: tunnel was down at probe time ==="
+  BLEFT=0
+fi
 if [ "$BLEFT" -gt 1200 ]; then
   echo "=== clean bench (budget ${BLEFT}s, $(date -u +%H:%M:%S)) ==="
   timeout "$BLEFT" python bench.py \
