@@ -68,6 +68,9 @@ if timeout 120 python -c "import jax; print(float(jax.numpy.zeros(8).sum()))" \
 else
   echo "=== tunnel probe FAILED: CPU eval fallback ($(date -u +%H:%M:%S)) ==="
   EVAL_ENV=(env JAX_PLATFORMS=cpu)
+  # a CPU eval does not occupy the chip, so it may run past the chip
+  # deadline without endangering the round-end driver bench
+  EVAL_HARD_END=${CPU_HARD_END:-$(date -u -d 'today 13:54' +%s)}
 fi
 BUDGET=$(( EVAL_HARD_END - $(date +%s) ))
 echo "=== eval_only from latest checkpoint (budget ${BUDGET}s) ==="
