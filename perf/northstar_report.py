@@ -70,7 +70,8 @@ def build_report(run: str) -> str:
     # artifact inventory
     lines += ["## Artifacts", ""]
     for sub in ("checkpoint_*", "lowres_videos/*", "full_videos/*",
-                "videos/*", "buffer_maps/*", "images/*", "test_videos/*"):
+                "videos/*", "buffer_maps/*", "images/*", "test_videos/*",
+                "metrics_*.json", "voxels.*", "scene_flow.*"):
         hits = sorted(glob.glob(os.path.join(run, sub)))
         if hits:
             lines.append(f"- {sub}: {len(hits)} "
